@@ -15,8 +15,19 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full main-content extraction pipeline end-to-end.
+
+    Synthesizes the deterministic tiny `pages(url, warc_ts, html, text, lang)`
+    corpus (BASELINE.json input_hint — built in-repo, no external data) and
+    runs the fused DOM-tokenize → boilerplate-classify → readability-tiebreak
+    extract stage as one vectorized mapInPandas pass, returning the
+    `extracted` DataFrame (url, text, spans, metrics, status).
+    """
+    from engine.extract.udf import run_extract
+    from engine.synth import generate_pages
+
+    pages = generate_pages(spark, 1000, partitions=8)
+    return run_extract(pages)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

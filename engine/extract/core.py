@@ -1,0 +1,609 @@
+"""Pure-Python main-content extractor core. Zero Spark imports.
+
+Replaces the reference's per-page OCR/denoise chain
+(emop/lib/processes/tesseract.py, denoise.py, page_evaluator.py [U]) with a
+deterministic HTML boilerplate-strip pipeline plus a layout-aware PDF path:
+
+  1. DOM tokenizer   — single pass over the decoded bytes producing a stream
+                       of text blocks with word/anchor-word counts, node paths
+                       and source-char offsets (the hOCR-DOM walk analog of
+                       emop/lib/processes/xml_to_text.py + denoise.py [U]).
+  2. Densitometric classifier — the published NumWordsRulesClassifier decision
+                       rules from Kohlschütter, Fankhauser & Nejdl,
+                       "Boilerplate Detection using Shallow Text Features"
+                       (WSDM 2010, public paper): link-density + word-count
+                       thresholds over (prev, curr, next) block triples.
+  3. Readability-style node scoring — per-container score (comma count +
+                       capped length bonus, link-density damped) used ONLY as
+                       a tie-breaker to promote short blocks inside the
+                       top-scoring container (BASELINE.json north_star).
+  4. PDF branch      — selected by the %PDF- magic; parses uncompressed text
+                       objects (BT..ET, Td/TD/Tm positioning, Tj/TJ shows)
+                       and reassembles reading order by (y desc, x asc).
+
+Determinism contract (byte-identical output per url — BASELINE.json:14):
+  * decode is always UTF-8 with errors="replace" (PDF: latin-1, lossless);
+  * whitespace inside a block collapses to single spaces; blocks join on \n;
+  * no dict-iteration-order dependence anywhere; ties in container scoring
+    break on smallest node path;
+  * the extractor NEVER raises: malformed input yields a best-effort result
+    or a (status='failed', error=...) record, mirroring the reference's
+    continue-on-failure loop (emop/lib/emop_run.py [U]).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+EXTRACTOR_VERSION = "1.0.0"
+
+# --------------------------------------------------------------------------
+# HTML tokenizer
+# --------------------------------------------------------------------------
+
+_VOID_TAGS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+_RAWTEXT_TAGS = frozenset(("script", "style", "textarea", "noscript"))
+# Opening/closing any of these flushes the current text block.
+_BLOCK_TAGS = frozenset(
+    (
+        "address article aside blockquote body br caption dd div dl dt fieldset "
+        "figcaption figure footer form h1 h2 h3 h4 h5 h6 head header hr html li "
+        "main nav ol option p pre section select table tbody td tfoot th thead "
+        "title tr ul"
+    ).split()
+)
+# Text anywhere under these never counts as main content.
+_IGNORE_SUBTREE_TAGS = frozenset("head nav header footer aside form select".split())
+# class/id substrings — Readability-style hints (public readability.js heuristic).
+_NEGATIVE_HINT = re.compile(
+    r"nav|menu|footer|sidebar|side-bar|banner|advert|\bad\b|\bads\b|cookie|"
+    r"breadcrumb|promo|related|share|social|comment",
+    re.IGNORECASE,
+)
+_POSITIVE_HINT = re.compile(
+    r"article|content|main|post|body|entry|text|story", re.IGNORECASE
+)
+_CONTAINER_TAGS = frozenset("div article section main blockquote body".split())
+# Tags legal inside <head>; anything else implicitly closes an open head
+# (browser-parser recovery — keeps unclosed-<head> malformed docs extractable).
+_HEAD_ONLY_TAGS = frozenset(
+    "title meta link base style script noscript template".split()
+)
+
+_ENTITIES = {
+    "amp": "&",
+    "lt": "<",
+    "gt": ">",
+    "quot": '"',
+    "apos": "'",
+    "nbsp": " ",
+    "mdash": "—",
+    "ndash": "–",
+    "hellip": "…",
+    "copy": "©",
+    "raquo": "»",
+    "laquo": "«",
+}
+_ENTITY_RE = re.compile(r"&(#x?[0-9a-fA-F]{1,7}|[a-zA-Z][a-zA-Z0-9]{1,31});")
+
+
+def _unescape(text: str) -> str:
+    """Deterministic entity decode; unknown entities pass through verbatim."""
+    if "&" not in text:
+        return text
+
+    def sub(m: re.Match) -> str:
+        body = m.group(1)
+        if body.startswith("#"):
+            try:
+                cp = int(body[2:], 16) if body[1:2] in ("x", "X") else int(body[1:])
+            except ValueError:
+                return m.group(0)
+            if 0 < cp <= 0x10FFFF and not (0xD800 <= cp <= 0xDFFF):
+                return chr(cp)
+            return m.group(0)
+        return _ENTITIES.get(body.lower(), m.group(0))
+
+    return _ENTITY_RE.sub(sub, text)
+
+
+_WS_RE = re.compile(r"\s+")
+_TAG_NAME_RE = re.compile(r"[a-zA-Z][a-zA-Z0-9:-]*")
+_ATTR_RE = re.compile(
+    r"""([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*(?:=\s*("[^"]*"|'[^']*'|[^\s>]*))?"""
+)
+
+
+@dataclass
+class Block:
+    """One segment of running text between block-tag boundaries."""
+
+    node_path: str = ""
+    n_words: int = 0
+    n_anchor_words: int = 0
+    words: list[str] = field(default_factory=list)
+    start: int = -1  # char offset of first text run in the decoded source
+    end: int = -1  # char offset past the last text run
+    ignored: bool = False  # under nav/header/footer/aside/form/head
+    neg_hint: bool = False  # ancestor class/id matches the negative regex
+    pos_hint: bool = False
+    container: str = ""  # node path of nearest container ancestor
+    heading: bool = False  # emitted from inside h1..h6 or title
+    content: bool = False  # classifier verdict (filled in phase 2)
+    rejected_short: bool = False  # boiler verdict came from word-count rules only
+
+    @property
+    def link_density(self) -> float:
+        return self.n_anchor_words / self.n_words if self.n_words else 0.0
+
+    @property
+    def text(self) -> str:
+        return " ".join(self.words)
+
+
+@dataclass
+class _Elem:
+    tag: str
+    path: str
+    ignored: bool
+    neg: bool
+    pos: bool
+    container: str
+    heading: bool
+
+
+def _parse_attrs(raw: str) -> dict[str, str]:
+    attrs: dict[str, str] = {}
+    for m in _ATTR_RE.finditer(raw):
+        name = m.group(1).lower()
+        val = m.group(2) or ""
+        if val[:1] in ('"', "'"):
+            val = val[1:-1]
+        if name not in attrs:
+            attrs[name] = val
+    return attrs
+
+
+def tokenize_blocks(src: str) -> tuple[list[Block], int]:
+    """Single-pass tag scan → list of text Blocks. Returns (blocks, n_tags).
+
+    Never raises on malformed markup: stray '<' becomes text, unclosed tags
+    close implicitly at EOF, mismatched closes pop to the nearest match.
+    """
+    n = len(src)
+    i = 0
+    n_tags = 0
+    blocks: list[Block] = []
+    stack: list[_Elem] = []
+    # per-parent same-tag sibling counters for node paths like div[2]/p[1]
+    child_counts: list[dict[str, int]] = [{}]
+    link_depth = 0
+    cur = Block()
+
+    def state() -> _Elem:
+        if stack:
+            return stack[-1]
+        return _Elem("", "", False, False, False, "", False)
+
+    def flush() -> None:
+        nonlocal cur
+        if cur.words:
+            blocks.append(cur)
+        cur = Block()
+
+    def add_text(run: str, start: int, end: int) -> None:
+        nonlocal cur
+        st = state()
+        words = _WS_RE.split(_unescape(run).strip())
+        words = [w for w in words if w]
+        if not words:
+            return
+        if not cur.words:
+            cur.node_path = st.path or "html"
+            cur.start = start
+            cur.ignored = st.ignored
+            cur.neg_hint = st.neg
+            cur.pos_hint = st.pos
+            cur.container = st.container or "html"
+            cur.heading = st.heading
+        cur.words.extend(words)
+        cur.n_words += len(words)
+        if link_depth > 0:
+            cur.n_anchor_words += len(words)
+        cur.end = end
+
+    while i < n:
+        lt = src.find("<", i)
+        if lt == -1:
+            add_text(src[i:], i, n)
+            break
+        if lt > i:
+            add_text(src[i:lt], i, lt)
+        # inspect what follows '<'
+        if src.startswith("<!--", lt):
+            close = src.find("-->", lt + 4)
+            i = n if close == -1 else close + 3
+            n_tags += 1
+            continue
+        if src.startswith("<!", lt) or src.startswith("<?", lt):
+            close = src.find(">", lt + 2)
+            i = n if close == -1 else close + 1
+            n_tags += 1
+            continue
+        if src.startswith("</", lt):
+            m = _TAG_NAME_RE.match(src, lt + 2)
+            if not m:
+                add_text("<", lt, lt + 1)
+                i = lt + 1
+                continue
+            tag = m.group(0).lower()
+            close = src.find(">", m.end())
+            i = n if close == -1 else close + 1
+            n_tags += 1
+            if tag == "a":
+                link_depth = max(0, link_depth - 1)
+                continue
+            if tag in _BLOCK_TAGS:
+                flush()
+            # pop to nearest matching open tag (tolerates mis-nesting)
+            for d in range(len(stack) - 1, -1, -1):
+                if stack[d].tag == tag:
+                    del stack[d:]
+                    del child_counts[d + 1 :]
+                    break
+            continue
+        m = _TAG_NAME_RE.match(src, lt + 1)
+        if not m:
+            add_text("<", lt, lt + 1)
+            i = lt + 1
+            continue
+        tag = m.group(0).lower()
+        # find tag end, honouring quoted attribute values
+        j = m.end()
+        in_q = ""
+        while j < n:
+            c = src[j]
+            if in_q:
+                if c == in_q:
+                    in_q = ""
+            elif c in ('"', "'"):
+                in_q = c
+            elif c == ">":
+                break
+            j += 1
+        raw_attrs = src[m.end() : j]
+        self_close = raw_attrs.rstrip().endswith("/")
+        i = j + 1 if j < n else n
+        n_tags += 1
+
+        if tag in _BLOCK_TAGS:
+            flush()
+        if tag not in _HEAD_ONLY_TAGS and tag not in ("html", "head"):
+            # implicit </head> on the first body-content tag (recovery)
+            for d in range(len(stack) - 1, -1, -1):
+                if stack[d].tag == "head":
+                    del stack[d:]
+                    del child_counts[d + 1 :]
+                    break
+        if tag == "a":
+            link_depth += 1
+            continue
+        if tag in _VOID_TAGS or self_close:
+            continue
+        if tag in _RAWTEXT_TAGS:
+            # skip raw content up to the matching close tag (case-insensitive)
+            low = src.lower()
+            close = low.find("</" + tag, i)
+            if close == -1:
+                i = n
+            else:
+                gt = src.find(">", close)
+                i = n if gt == -1 else gt + 1
+            n_tags += 1
+            continue
+
+        st = state()
+        counts = child_counts[-1]
+        idx = counts.get(tag, 0) + 1
+        counts[tag] = idx
+        path = f"{st.path}/{tag}[{idx}]" if st.path else f"{tag}[{idx}]"
+        attrs = _parse_attrs(raw_attrs)
+        hint_src = (attrs.get("class", "") + " " + attrs.get("id", "")).strip()
+        neg = st.neg or bool(hint_src and _NEGATIVE_HINT.search(hint_src))
+        pos = st.pos or bool(hint_src and _POSITIVE_HINT.search(hint_src))
+        ignored = st.ignored or tag in _IGNORE_SUBTREE_TAGS
+        container = path if tag in _CONTAINER_TAGS else st.container
+        heading = st.heading or tag in ("h1", "h2", "h3", "h4", "h5", "h6", "title")
+        stack.append(_Elem(tag, path, ignored, neg, pos, container, heading))
+        child_counts.append({})
+
+    flush()
+    return blocks, n_tags
+
+
+# --------------------------------------------------------------------------
+# Phase 2: densitometric classification (Kohlschütter WSDM'10 rule set)
+# --------------------------------------------------------------------------
+
+
+def _classify_triple(prev: Block, curr: Block, nxt: Block) -> tuple[bool, bool]:
+    """NumWordsRulesClassifier. Returns (is_content, rejected_by_short_rules).
+
+    rejected_by_short_rules marks blocks dropped purely for being short in a
+    low-link-density neighbourhood — the only category the Readability
+    tie-break (phase 3) may later promote.
+    """
+    if curr.link_density > 0.333333:
+        return False, False
+    if prev.link_density <= 0.555556:
+        if curr.n_words > 16 or nxt.n_words > 15 or prev.n_words > 4:
+            return True, False
+        return False, True
+    if curr.n_words > 40 or nxt.n_words > 17:
+        return True, False
+    return False, True
+
+
+_EMPTY_BLOCK = Block()
+
+
+def classify_blocks(blocks: list[Block]) -> None:
+    """Set .content/.rejected_short in place; apply structural overrides."""
+    n = len(blocks)
+    for k, b in enumerate(blocks):
+        prev = blocks[k - 1] if k > 0 else _EMPTY_BLOCK
+        nxt = blocks[k + 1] if k + 1 < n else _EMPTY_BLOCK
+        b.content, b.rejected_short = _classify_triple(prev, b, nxt)
+        if b.ignored or b.neg_hint:
+            # structural boilerplate: nav/header/footer/aside/form subtree or
+            # negative class/id hint — overrides the density verdict.
+            b.content = False
+            b.rejected_short = False
+    # headline rule: a heading immediately before a content block is content.
+    for k in range(n - 1):
+        b = blocks[k]
+        if (
+            b.heading
+            and not b.content
+            and not b.ignored
+            and not b.neg_hint
+            and b.link_density <= 0.333333
+            and blocks[k + 1].content
+        ):
+            b.content = True
+            b.rejected_short = False
+
+
+# --------------------------------------------------------------------------
+# Phase 3: Readability-style container scoring (tie-breaker only)
+# --------------------------------------------------------------------------
+
+
+def score_containers(blocks: list[Block]) -> tuple[str, float]:
+    """Score each container ancestor; return (best_container_path, score).
+
+    Score per container = Σ over its non-ignored blocks of
+      (1 + commas(text) + min(n_words // 20, 3)) * (1 - block link density)
+    plus a +5 bonus if any ancestor hint was positive — the readability.js
+    scoring shape (public), simplified and made deterministic.
+    Ties break on the lexicographically smallest container path.
+    """
+    scores: dict[str, float] = {}
+    pos_bonus: dict[str, bool] = {}
+    for b in blocks:
+        if b.ignored or b.neg_hint or not b.n_words:
+            continue
+        s = (1.0 + b.text.count(",") + min(b.n_words // 20, 3)) * (
+            1.0 - b.link_density
+        )
+        scores[b.container] = scores.get(b.container, 0.0) + s
+        if b.pos_hint:
+            pos_bonus[b.container] = True
+    if not scores:
+        return "", 0.0
+    best_path, best_score = "", -1.0
+    for path in sorted(scores):
+        s = scores[path] + (5.0 if pos_bonus.get(path) else 0.0)
+        if s > best_score:
+            best_path, best_score = path, s
+    return best_path, best_score
+
+
+def apply_tiebreak(blocks: list[Block], best_container: str) -> None:
+    """Promote short-rejected blocks inside the winning container."""
+    if not best_container:
+        return
+    for b in blocks:
+        if (
+            b.rejected_short
+            and b.container == best_container
+            and b.link_density <= 0.333333
+        ):
+            b.content = True
+
+
+# --------------------------------------------------------------------------
+# PDF branch (layout-aware parse of uncompressed text objects)
+# --------------------------------------------------------------------------
+
+_PDF_BT_RE = re.compile(r"\bBT\b(.*?)\bET\b", re.DOTALL)
+_PDF_OP_RE = re.compile(
+    r"(-?[\d.]+)\s+(-?[\d.]+)\s+(?:Td|TD)"  # 1,2: move
+    r"|(?:(-?[\d.]+)\s+){4}(-?[\d.]+)\s+(-?[\d.]+)\s+Tm"  # 4,5: matrix e,f
+    r"|\(((?:[^()\\]|\\.)*)\)\s*Tj"  # 6: show
+    r"|\[((?:[^\]\\]|\\.)*)\]\s*TJ"  # 7: array show
+)
+_PDF_STR_RE = re.compile(r"\(((?:[^()\\]|\\.)*)\)")
+_PDF_ESCAPES = {"n": "\n", "r": "\r", "t": "\t", "b": "\b", "f": "\f",
+                "(": "(", ")": ")", "\\": "\\"}
+
+
+def _pdf_unescape(s: str) -> str:
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "\\" and i + 1 < n:
+            nxt = s[i + 1]
+            if nxt in _PDF_ESCAPES:
+                out.append(_PDF_ESCAPES[nxt])
+                i += 2
+                continue
+            if nxt.isdigit():  # octal \ddd
+                j = i + 1
+                while j < min(i + 4, n) and s[j].isdigit():
+                    j += 1
+                try:
+                    out.append(chr(int(s[i + 1 : j], 8) & 0xFF))
+                except ValueError:
+                    out.append(s[i + 1 : j])
+                i = j
+                continue
+            i += 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def extract_pdf(data: bytes) -> dict:
+    """Parse uncompressed PDF text objects; reading order = y desc, x asc.
+
+    The layout-aware analog of the reference's MultiColumnSkew stage
+    (emop/lib/processes/multi_column_skew.py [U]): text runs carry explicit
+    page coordinates, so reassembly is a deterministic geometric sort.
+    """
+    src = data.decode("latin-1")  # lossless 1:1 byte↔char, offsets stable
+    shows: list[tuple[float, float, int, str, int, int]] = []  # -y, x, seq, text
+    seq = 0
+    for bt in _PDF_BT_RE.finditer(src):
+        x = y = 0.0
+        base = bt.start(1)
+        for op in _PDF_OP_RE.finditer(bt.group(1)):
+            if op.group(1) is not None:
+                x += float(op.group(1))
+                y += float(op.group(2))
+            elif op.group(5) is not None:
+                x, y = float(op.group(4)), float(op.group(5))
+            elif op.group(6) is not None:
+                txt = _pdf_unescape(op.group(6))
+                if txt.strip():
+                    shows.append(
+                        (-y, x, seq, txt, base + op.start(6), base + op.end(6))
+                    )
+                    seq += 1
+            elif op.group(7) is not None:
+                parts = [_pdf_unescape(m.group(1)) for m in
+                         _PDF_STR_RE.finditer(op.group(7))]
+                txt = "".join(parts)
+                if txt.strip():
+                    shows.append(
+                        (-y, x, seq, txt, base + op.start(7), base + op.end(7))
+                    )
+                    seq += 1
+    if not shows:
+        return _failed("pdf_no_text")
+    shows.sort(key=lambda t: (t[0], t[1], t[2]))
+    lines: list[list[tuple]] = []
+    last_y: float | None = None
+    for sh in shows:
+        if last_y is None or abs(sh[0] - last_y) > 1e-6:
+            lines.append([])
+            last_y = sh[0]
+        lines[-1].append(sh)
+    out_lines: list[str] = []
+    spans: list[dict] = []
+    total_words = 0
+    for k, line in enumerate(lines, start=1):
+        txt = _WS_RE.sub(" ", " ".join(sh[3] for sh in line)).strip()
+        if not txt:
+            continue
+        out_lines.append(txt)
+        total_words += len(txt.split())
+        spans.append(
+            {
+                "node_path": f"pdf/line[{k}]",
+                "start": int(line[0][4]),
+                "end": int(line[-1][5]),
+            }
+        )
+    text = "\n".join(out_lines)
+    return {
+        "text": text,
+        "spans": spans,
+        "n_chars": len(text),
+        "link_density": 0.0,
+        "boiler_ratio": 0.0,
+        "quality": min(total_words / 100.0, 1.0),
+        "extractor_version": EXTRACTOR_VERSION,
+        "status": "ok",
+        "error": None,
+    }
+
+
+# --------------------------------------------------------------------------
+# Entry point
+# --------------------------------------------------------------------------
+
+
+def _failed(err: str) -> dict:
+    return {
+        "text": None,
+        "spans": None,
+        "n_chars": 0,
+        "link_density": 0.0,
+        "boiler_ratio": 0.0,
+        "quality": 0.0,
+        "extractor_version": EXTRACTOR_VERSION,
+        "status": "failed",
+        "error": err,
+    }
+
+
+def extract_html(data: bytes) -> dict:
+    src = data.decode("utf-8", errors="replace")
+    blocks, n_tags = tokenize_blocks(src)
+    if n_tags == 0:
+        return _failed("not_html")
+    classify_blocks(blocks)
+    best_container, best_score = score_containers(blocks)
+    apply_tiebreak(blocks, best_container)
+
+    kept = [b for b in blocks if b.content]
+    total_words = sum(b.n_words for b in blocks if not b.ignored)
+    anchor_words = sum(b.n_anchor_words for b in blocks if not b.ignored)
+    boiler_words = sum(
+        b.n_words for b in blocks if not b.content and not b.ignored
+    )
+    text = "\n".join(b.text for b in kept)
+    spans = [
+        {"node_path": b.node_path, "start": b.start, "end": b.end} for b in kept
+    ]
+    return {
+        "text": text,
+        "spans": spans,
+        "n_chars": len(text),
+        "link_density": anchor_words / total_words if total_words else 0.0,
+        "boiler_ratio": boiler_words / total_words if total_words else 0.0,
+        "quality": best_score / (best_score + 10.0) if best_score > 0 else 0.0,
+        "extractor_version": EXTRACTOR_VERSION,
+        "status": "ok",
+        "error": None,
+    }
+
+
+def extract_document(data: bytes | None) -> dict:
+    """Dispatch on payload type; NEVER raises (continue-on-failure semantics,
+    emop/lib/emop_run.py [U]: a failed page yields a failed result row and the
+    batch continues)."""
+    try:
+        if data is None or len(data) == 0:
+            return _failed("empty_input")
+        if data[:5] == b"%PDF-":
+            return extract_pdf(data)
+        return extract_html(data)
+    except Exception as exc:  # defensive: contract is "never raises"
+        return _failed(f"internal:{type(exc).__name__}:{exc}")

@@ -1,0 +1,58 @@
+"""Vectorized Spark wrappers over the pure-Python extractor core.
+
+BASELINE.json input_hint demands "vectorized pandas/Arrow UDFs (no per-row
+Python) throughout": html BINARY crosses the JVM→Python Arrow channel exactly
+once per batch, the whole R1–R5 stage chain of the reference
+(tesseract→xml_to_text→denoise→multi_column_skew→page_evaluator [U]) runs as
+ONE fused function over the batch (SURVEY.md §3.3 dedup note), and the
+(text, spans, metrics) result crosses back once.
+
+`mapInPandas` is used rather than a scalar pandas_udf because the output is a
+10-column struct-per-row (spans is array<struct>) — one pass, one schema, no
+column reassembly on the JVM side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from engine.extract.core import extract_document
+from engine.schema import EXTRACTED_DDL
+
+_OUT_COLS = [
+    "url",
+    "text",
+    "spans",
+    "n_chars",
+    "link_density",
+    "boiler_ratio",
+    "quality",
+    "extractor_version",
+    "status",
+    "error",
+]
+
+
+def extract_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: (url, html, ...) batches → extracted batches."""
+    for pdf in batches:
+        urls = pdf["url"].tolist()
+        htmls = pdf["html"].tolist()
+        rows = []
+        for url, html in zip(urls, htmls):
+            rec = extract_document(html)
+            rec["url"] = url
+            rows.append(rec)
+        yield pd.DataFrame(rows, columns=_OUT_COLS)
+
+
+def run_extract(pages_df):
+    """pages → extracted. Column-prunes to (url, html) before the UDF so only
+    the needed bytes cross the Arrow channel."""
+    return pages_df.select("url", "html").mapInPandas(
+        extract_batches, schema=EXTRACTED_DDL
+    )
