@@ -1,0 +1,277 @@
+"""The batch-queue jobs: enqueue → run (resumable) → retry → rollup.
+
+Spark-first re-expression of the reference's controller verbs
+(emopcmd.py submit/run/upload [U]) as idempotent DataFrame jobs
+(BASELINE.json north_star: "Structured-Streaming-free idempotent DataFrame
+jobs with a driver-side manifest table instead of a scheduler daemon").
+
+Partitioning (the Q3 optimize_job analog, emop/lib/emop_submit.py [U]):
+  n_partitions = clamp(ceil(total_html_bytes / target_partition_bytes),
+                       min_partitions, max_partitions)
+  partition_id = pmod(hash(url), n_partitions)
+
+hash(url) is Spark's Murmur3 — content-addressed, so a document's partition
+is a pure function of its url at ANY cluster size; hot hosts are already
+spread uniformly because the hash covers the full url (host + unique path),
+which IS the salting strategy for the extract stage: the skew-prone key
+(host) never becomes a partition key on its own. Host-keyed *joins* get an
+explicit salt column instead (see queries.q_salted_host_join).
+
+Commit protocol (resume unit = wave of partitions):
+  for each wave of pending partition ids:
+    1. filter pages to the wave's partitions        (one scan, map-only after)
+    2. run the fused extract UDF
+    3. write extracted parquet partitioned by partition_id (append)
+    4. write the wave's lineage rows (doc/byte counts, checksum, wall_ms)
+    5. atomically flip those partitions pending→committed in manifest.json
+A kill between waves loses at most the in-flight wave; re-running the job
+recomputes ONLY partitions absent from the manifest (Q5 idempotency,
+emop/lib/emop_run.py :: should_run [U]). A fully committed run is a no-op.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engine.extract.core import EXTRACTOR_VERSION
+from engine.extract.udf import extract_batches
+from engine.manifest import RunManifest
+from engine.schema import EXTRACTED_DDL
+
+DEFAULT_TARGET_PARTITION_BYTES = 64 << 20  # 64 MiB of raw html per partition
+
+
+def plan_partitions(
+    total_bytes: int,
+    target_partition_bytes: int = DEFAULT_TARGET_PARTITION_BYTES,
+    min_partitions: int = 8,
+    max_partitions: int = 1 << 20,
+) -> int:
+    """Byte-based partition sizing (optimize_job analog)."""
+    n = math.ceil(max(total_bytes, 1) / target_partition_bytes)
+    return max(min_partitions, min(n, max_partitions))
+
+
+def with_partition_id(pages: DataFrame, n_partitions: int) -> DataFrame:
+    return pages.withColumn(
+        "partition_id", F.pmod(F.hash("url"), F.lit(n_partitions)).cast("int")
+    )
+
+
+def enqueue(
+    spark: SparkSession,
+    pages: DataFrame,
+    runs_root: str,
+    target_partition_bytes: int = DEFAULT_TARGET_PARTITION_BYTES,
+    min_partitions: int = 8,
+    run_id: str | None = None,
+) -> RunManifest:
+    """submit/reserve analog: size the run and commit a pending manifest."""
+    sized = pages.agg(
+        F.sum(F.coalesce(F.length("html"), F.lit(0))).alias("b"),
+    ).collect()[0]
+    total_bytes = int(sized["b"] or 0)
+    n = plan_partitions(total_bytes, target_partition_bytes, min_partitions)
+    return RunManifest.create(runs_root, n, total_bytes, run_id=run_id)
+
+
+def run_extract_job(
+    spark: SparkSession,
+    pages: DataFrame,
+    manifest: RunManifest,
+    wave_size: int = 8,
+    max_waves: int | None = None,
+) -> dict:
+    """Process pending partitions in committed waves; resume-safe.
+
+    `max_waves` exists for the resume test (simulates a mid-run kill).
+    Returns summary counters.
+    """
+    n_parts = manifest.state()["n_partitions"]
+    pending = manifest.pending_partitions()
+    done_docs = 0
+    waves_run = 0
+    wave_no = len(manifest.committed_partitions()) // max(wave_size, 1)
+
+    keyed = with_partition_id(pages, n_parts)
+
+    for w0 in range(0, len(pending), wave_size):
+        if max_waves is not None and waves_run >= max_waves:
+            break
+        wave = pending[w0 : w0 + wave_size]
+        t0 = time.monotonic()
+        batch = keyed.where(F.col("partition_id").isin(wave))
+        extracted = batch.select("url", "html", "partition_id").mapInPandas(
+            _extract_with_pid, schema=EXTRACTED_DDL + ", partition_id int"
+        )
+        (
+            extracted.write.mode("append")
+            .partitionBy("partition_id")
+            .parquet(manifest.extracted_path)
+        )
+        # lineage from the just-written files (counts what was COMMITTED,
+        # not what was attempted)
+        out = spark.read.parquet(manifest.extracted_path).where(
+            F.col("partition_id").isin(wave)
+        )
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        lineage = (
+            out.groupBy("partition_id")
+            .agg(
+                F.count("*").alias("doc_count"),
+                F.sum(F.coalesce(F.col("n_chars"), F.lit(0))).alias("byte_count"),
+                F.sha2(
+                    F.concat_ws(
+                        "|",
+                        F.sort_array(
+                            F.collect_list(
+                                F.concat_ws(
+                                    ":",
+                                    F.col("url"),
+                                    F.sha2(
+                                        F.encode(
+                                            F.coalesce(F.col("text"), F.lit("")),
+                                            "UTF-8",
+                                        ),
+                                        256,
+                                    ),
+                                )
+                            )
+                        ),
+                    ),
+                    256,
+                ).alias("checksum"),
+            )
+            .select(
+                F.lit(manifest.run_id).alias("run_id"),
+                F.col("partition_id").cast("int"),
+                F.lit("extract").alias("stage"),
+                F.col("doc_count").cast("long"),
+                F.col("byte_count").cast("long"),
+                F.lit(EXTRACTOR_VERSION).alias("extractor_version"),
+                F.col("checksum"),
+                F.lit(wall_ms).cast("long").alias("wall_ms"),
+            )
+        )
+        lineage.coalesce(1).write.mode("append").parquet(
+            manifest.lineage_wave_path(wave_no)
+        )
+        manifest.commit_partitions(wave)  # atomic snapshot flip — THE commit
+        done_docs += out.count()
+        waves_run += 1
+        wave_no += 1
+
+    return {
+        "run_id": manifest.run_id,
+        "waves_run": waves_run,
+        "docs_processed": done_docs,
+        "complete": manifest.is_complete(),
+    }
+
+
+def _extract_with_pid(batches):
+    """Fused extract UDF, passing partition_id through the Arrow channel."""
+    import pandas as pd  # noqa: F401  (worker-side import)
+
+    for pdf in batches:
+        pids = pdf["partition_id"]
+        for out in extract_batches(iter([pdf])):
+            out["partition_id"] = pids.to_numpy()
+            yield out
+
+
+def read_lineage(spark: SparkSession, manifest: RunManifest) -> DataFrame:
+    waves = sorted(str(p) for p in manifest.lineage_dir.glob("wave-*.parquet"))
+    if not waves:
+        return spark.createDataFrame([], schema=_lineage_ddl())
+    return spark.read.parquet(*waves)
+
+
+def _lineage_ddl() -> str:
+    return (
+        "run_id string, partition_id int, stage string, doc_count long, "
+        "byte_count long, extractor_version string, checksum string, wall_ms long"
+    )
+
+
+def read_extracted(spark: SparkSession, manifest: RunManifest) -> DataFrame:
+    """Committed view: only partitions the manifest says are committed."""
+    committed = manifest.committed_partitions()
+    df = spark.read.parquet(manifest.extracted_path)
+    return df.where(F.col("partition_id").isin(committed))
+
+
+def retry_failed(
+    spark: SparkSession, pages: DataFrame, manifest: RunManifest
+) -> dict:
+    """retry-failed-page analog (Q6): re-extract failed urls, MERGE-style.
+
+    Re-extracted rows are appended with a bumped attempt marker; the
+    current-view dedup (latest attempt per url) happens in
+    `read_current_extracted`. Without a Delta/Iceberg MERGE in-sandbox this
+    append+window-dedup is the idempotent equivalent.
+    """
+    n_parts = manifest.state()["n_partitions"]
+    failed_urls = (
+        read_extracted(spark, manifest)
+        .where(F.col("status") == "failed")
+        .select("url")
+        .distinct()
+    )
+    todo = with_partition_id(
+        pages.join(failed_urls, "url", "left_semi"), n_parts
+    )
+    n_failed = todo.count()
+    if n_failed == 0:
+        return {"retried": 0}
+    redone = todo.select("url", "html", "partition_id").mapInPandas(
+        _extract_with_pid, schema=EXTRACTED_DDL + ", partition_id int"
+    )
+    redone.write.mode("append").partitionBy("partition_id").parquet(
+        manifest.extracted_path + "_retry"
+    )
+    return {"retried": n_failed}
+
+
+def read_current_extracted(spark: SparkSession, manifest: RunManifest) -> DataFrame:
+    """Latest-attempt view across base + retry outputs (MERGE emulation)."""
+    from pyspark.sql import Window as W
+
+    base = read_extracted(spark, manifest).withColumn("attempt", F.lit(0))
+    retry_path = manifest.extracted_path + "_retry"
+    import os
+
+    if os.path.exists(retry_path):
+        retry = spark.read.parquet(retry_path).withColumn("attempt", F.lit(1))
+        base = base.unionByName(retry)
+    w = W.partitionBy("url").orderBy(F.desc("attempt"))
+    return (
+        base.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "attempt")
+    )
+
+
+def rollup_metrics(spark: SparkSession, manifest: RunManifest) -> DataFrame:
+    """upload/rollup analog (Q7, emop/lib/emop_upload.py [U]): per-run and
+    per-partition aggregates via ROLLUP, plus derived throughput columns."""
+    lin = read_lineage(spark, manifest)
+    return (
+        lin.rollup("run_id", "partition_id")
+        .agg(
+            F.sum("doc_count").alias("docs"),
+            F.sum("byte_count").alias("bytes"),
+            F.sum("wall_ms").alias("wall_ms"),
+            F.count("*").alias("n_rows"),
+        )
+        .withColumn(
+            "docs_per_sec",
+            F.when(
+                F.col("wall_ms") > 0, F.col("docs") / (F.col("wall_ms") / 1000.0)
+            ),
+        )
+    )
