@@ -31,19 +31,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2 (§3.3 checklist
+    + training-data pipeline ops). See engine/queries.py for the registry;
+    engine-hash-based ops (minhash/simhash/fingerprint/LSH) carry no oracle
+    and are pinned by tests/test_dedup.py instead."""
+    from engine.queries import queries as _q
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _q()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent ANSI SQL per oracle-checkable query; column names
+    and value determinism conventions documented in engine/queries.py."""
+    from engine.queries import oracle_sql as _o
+
+    return _o()

@@ -1,0 +1,880 @@
+"""The relational operator battery: `queries()` + `oracle_sql()` pairs.
+
+Covers the SURVEY.md §3.3 checklist (scan, filter, equi/broadcast/semi/anti/
+salted joins, partial+final aggs, distinct, rollup/cube, ranking + frame
+windows, sort/top-k, set ops, string/date/math/array/JSON functions) plus
+the large-scale training-data-pipeline operators (exact/near dedup, MinHash
+LSH, SimHash, ANN cosine top-k, language-ID, quality scoring, token counting,
+document fingerprinting).
+
+Determinism conventions (driver hashes values after sorting columns by name):
+  * every computed column is aliased IDENTICALLY in Spark and SQL;
+  * money/value sums go through integer cents — ``sum(cast(round(x*100) as
+    bigint))`` — so no float-accumulation-order divergence can flip a bit;
+  * float outputs (cosine, ratios) are rounded to 4 decimals AFTER identical
+    sequential fold order on both engines;
+  * every top-k has a total-order tie-break;
+  * timestamps leave as epoch-second bigints (dodges tz/format divergence).
+
+Scale notes are in each docstring: what the plan looks like at 100 TB and
+why (broadcast choices, shuffle keys, salting).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents "
+    "embeddings"
+).split()
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cents(col: str):
+    return F.sum(F.round(F.col(col) * 100).cast("long"))
+
+
+# =========================================================================
+# Aggregation / scan / filter
+# =========================================================================
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: hash agg with partial+final combine; the scan prunes
+    to 7 of 11 lineitem columns and pushes the date filter to parquet.
+    At scale: map-side partial agg makes the shuffle carry only
+    |groups| x |aggs| rows — the canonical scale-safe agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _cents("l_quantity").alias("sum_qty_cents"),
+            _cents("l_extendedprice").alias("sum_base_cents"),
+            F.count("*").alias("count_order"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def _sql_pricing_summary():
+    return """
+    SELECT l_returnflag, l_linestatus,
+           sum(CAST(round(l_quantity * 100) AS BIGINT))      AS sum_qty_cents,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+           count(*)                                          AS count_order,
+           round(avg(l_discount), 4)                         AS avg_disc
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """
+
+
+def q_distinct_agg(spark, sf_dir):
+    """COUNT(DISTINCT) + plain aggs in one pass (expand + two-phase agg)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+        _cents("value").alias("value_cents"),
+    )
+
+
+def _sql_distinct_agg():
+    return """
+    SELECT event_type,
+           count(DISTINCT user_id)                    AS n_users,
+           count(*)                                   AS n_events,
+           sum(CAST(round(value * 100) AS BIGINT))    AS value_cents
+    FROM events GROUP BY event_type
+    """
+
+
+def q_rollup_doc_metrics(spark, sf_dir):
+    """ROLLUP (run → host → lang analog): per-(lang, source) metric rollup —
+    the per-batch dashboard rollup of the reference (emop_upload.py [U])."""
+    d = _t(spark, sf_dir, "documents")
+    return d.rollup("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+    )
+
+
+def _sql_rollup_doc_metrics():
+    return """
+    SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+           min(doc_id) AS min_doc
+    FROM documents GROUP BY ROLLUP(lang, source)
+    """
+
+
+def q_cube_events(spark, sf_dir):
+    """CUBE over (event_type, day): grouping-sets expansion."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias("day_epoch")
+    return (
+        ev.select("event_type", day, "value")
+        .cube("event_type", "day_epoch")
+        .agg(F.count("*").alias("n"), _cents("value").alias("value_cents"))
+    )
+
+
+def _sql_cube_events():
+    return """
+    SELECT event_type, CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+           count(*) AS n, sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+    FROM events GROUP BY CUBE(event_type, day_epoch)
+    """
+
+
+# =========================================================================
+# Joins
+# =========================================================================
+
+
+def q_broadcast_dim_join(spark, sf_dir):
+    """Star join: fact ⟕ two small dims, both broadcast (no fact shuffle).
+    At 100 TB the fact side never moves; only ~KB dim tables ship."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_size") <= 20)
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            _cents("l_extendedprice").alias("revenue_cents"),
+        )
+    )
+
+
+def _sql_broadcast_dim_join():
+    return """
+    SELECT p_brand, count(*) AS n_items,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS revenue_cents
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey AND p_size <= 20
+    JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY p_brand
+    """
+
+
+def q_anti_join_pending(spark, sf_dir):
+    """LEFT ANTI: the resume primitive — 'pages with no committed lineage
+    row' recast as customers with no orders (Q5 skip-existing analog)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+def _sql_anti_join_pending():
+    return """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """
+
+
+def q_semi_join(spark, sf_dir):
+    """LEFT SEMI: EXISTS — parts that ever shipped in bulk."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 45)
+    return p.join(li, p.p_partkey == li.l_partkey, "left_semi").select(
+        "p_partkey", "p_brand"
+    )
+
+
+def _sql_semi_join():
+    return """
+    SELECT p_partkey, p_brand FROM part
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_partkey = p_partkey AND l_quantity >= 45)
+    """
+
+
+N_SALT = 8
+
+
+def q_salted_skew_join(spark, sf_dir):
+    """Explicit hot-key salting (BASELINE.json:6): the fact side gets
+    salt = pmod(hash(event_id), N_SALT); the dim side is replicated N_SALT
+    times via explode(sequence(...)); the join key becomes (user_id, salt),
+    splitting any hot user across N_SALT reducers. Result is identical to
+    the unsalted join — which is exactly what the oracle asserts.
+    At scale, this bounds the largest reducer partition by 1/N_SALT."""
+    ev = _t(spark, sf_dir, "events")
+    dim = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+        .select(
+            "user_id", F.unix_timestamp("first_ts").alias("first_epoch")
+        )
+    )
+    salted_fact = ev.withColumn(
+        "salt", F.pmod(F.hash("event_id"), F.lit(N_SALT)).cast("int")
+    )
+    salted_dim = dim.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(N_SALT - 1)))
+    )
+    return (
+        salted_fact.join(salted_dim, ["user_id", "salt"])
+        .groupBy("user_id", "first_epoch")
+        .agg(F.count("*").alias("n_events"), _cents("value").alias("value_cents"))
+    )
+
+
+def _sql_salted_skew_join():
+    return """
+    WITH dim AS (SELECT user_id,
+                        CAST(floor(epoch(min(ts))) AS BIGINT) AS first_epoch
+                 FROM events GROUP BY user_id)
+    SELECT e.user_id, d.first_epoch, count(*) AS n_events,
+           sum(CAST(round(e.value * 100) AS BIGINT)) AS value_cents
+    FROM events e JOIN dim d ON e.user_id = d.user_id
+    GROUP BY e.user_id, d.first_epoch
+    """
+
+
+# =========================================================================
+# Windows / top-k / set ops
+# =========================================================================
+
+
+def q_latest_crawl_dedup(spark, sf_dir):
+    """THE extraction dedup operator: latest warc_ts per url, recast onto
+    events (latest event per user). row_number over a hash-partitioned
+    window — one shuffle on the dedup key, scale-safe."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+def _sql_latest_crawl_dedup():
+    return """
+    SELECT user_id, event_id, event_type FROM (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+    """
+
+
+def q_running_totals(spark, sf_dir):
+    """Analytic frame: running per-user cents total (the per-partition
+    running byte totals of the sizing report, SURVEY.md §3.3)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .over(w)
+        .alias("running_cents"),
+    )
+
+
+def _sql_running_totals():
+    return """
+    SELECT event_id, user_id,
+           sum(CAST(round(value * 100) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS running_cents
+    FROM events
+    """
+
+
+def q_topk_hot_keys(spark, sf_dir):
+    """Top-k hot hosts analog: heaviest users by event count. Total-order
+    tie-break (count desc, user_id asc) keeps the limit deterministic.
+    At scale: partial agg + TakeOrderedAndProject — no full sort."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+def _sql_topk_hot_keys():
+    return """
+    SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+    ORDER BY n_events DESC, user_id ASC LIMIT 10
+    """
+
+
+def q_set_ops(spark, sf_dir):
+    """EXCEPT/INTERSECT/UNION over doc-id sets (completed ∖ failed payload
+    lists analog, emop_payload.py [U])."""
+    d = _t(spark, sf_dir, "documents")
+    en = d.where(F.col("lang") == "en").select("doc_id")
+    big = d.where(F.col("n_chars") > 200).select("doc_id")
+    src0 = d.where(F.col("source") == "src0").select("doc_id")
+    return en.subtract(big).unionByName(en.intersect(src0)).distinct()
+
+
+def _sql_set_ops():
+    return """
+    SELECT DISTINCT doc_id FROM (
+      (SELECT doc_id FROM documents WHERE lang = 'en'
+       EXCEPT
+       SELECT doc_id FROM documents WHERE n_chars > 200)
+      UNION
+      (SELECT doc_id FROM documents WHERE lang = 'en'
+       INTERSECT
+       SELECT doc_id FROM documents WHERE source = 'src0'))
+    """
+
+
+# =========================================================================
+# Scalar function families
+# =========================================================================
+
+
+def q_string_funcs(spark, sf_dir):
+    """String family: lower/length/substring/regexp_extract/trim/concat."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_len"),
+        F.lower(F.substring("text", 1, 8)).alias("head8"),
+        F.regexp_extract("text", r"^([a-z]+)", 1).alias("first_word"),
+        F.concat_ws("|", "lang", "source").alias("tag"),
+    )
+
+
+def _sql_string_funcs():
+    return """
+    SELECT doc_id, length(text) AS n_len,
+           lower(substring(text, 1, 8)) AS head8,
+           regexp_extract(text, '^([a-z]+)', 1) AS first_word,
+           concat_ws('|', lang, source) AS tag
+    FROM documents
+    """
+
+
+def q_date_funcs(spark, sf_dir):
+    """Date family: trunc/day-of-week bucketing → epoch bigints."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.unix_timestamp(F.date_trunc("week", F.col("ts"))).alias(
+                "week_epoch"
+            ),
+            F.dayofweek("ts").alias("dow"),
+            "value",
+        )
+        .groupBy("week_epoch", "dow")
+        .agg(F.count("*").alias("n"), _cents("value").alias("cents"))
+    )
+
+
+def _sql_date_funcs():
+    # DuckDB dayofweek: 0=Sunday; Spark dayofweek: 1=Sunday → +1 aligns.
+    return """
+    SELECT CAST(epoch(date_trunc('week', ts)) AS BIGINT) AS week_epoch,
+           CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+           count(*) AS n, sum(CAST(round(value * 100) AS BIGINT)) AS cents
+    FROM events GROUP BY 1, 2
+    """
+
+
+def q_json_funcs(spark, sf_dir):
+    """JSON family over events.props (the payload-JSON analog)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select(k.alias("k"), "value")
+        .groupBy("k")
+        .agg(F.count("*").alias("n"), _cents("value").alias("cents"))
+    )
+
+
+def _sql_json_funcs():
+    return """
+    SELECT CAST(props->>'$.k' AS BIGINT) AS k, count(*) AS n,
+           sum(CAST(round(value * 100) AS BIGINT)) AS cents
+    FROM events GROUP BY 1
+    """
+
+
+def q_array_funcs(spark, sf_dir):
+    """Higher-order array functions: transform + aggregate (sequential fold
+    in BOTH engines → bit-identical doubles before rounding)."""
+    e = _t(spark, sf_dir, "embeddings")
+    sq = F.transform(
+        F.col("embedding"), lambda x: x.cast("double") * x.cast("double")
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(
+            F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("norm2"),
+        "label",
+    )
+
+
+def _sql_array_funcs():
+    return """
+    SELECT vec_id, len(embedding) AS dim,
+           round(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS norm2,
+           label
+    FROM embeddings
+    """
+
+
+# =========================================================================
+# Training-data pipeline operators (generic-prompt first-class set)
+# =========================================================================
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content, keep min doc_id as canonical.
+    At 100 TB: group by sha2(text) instead of text to bound shuffle width;
+    here text itself keeps the oracle trivial."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies")
+    ).select("keeper", "n_copies")
+
+
+def _sql_dedup_exact():
+    return """
+    SELECT min(doc_id) AS keeper, count(*) AS n_copies
+    FROM documents GROUP BY text
+    """
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force ANN baseline: cosine top-10 vs the vec_id=0 query vector.
+    The query vector broadcasts (a scalar crossJoin of one row); each
+    partition scores locally, TakeOrderedAndProject keeps k — the pattern
+    that scales to 'one query vs 10^9 vectors'. IVF/LSH variant:
+    q_lsh_bucketed_ann."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    dot = F.aggregate(
+        F.zip_with(
+            "embedding", "qe", lambda a, b: a.cast("double") * b.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(dot / (norm(F.col("embedding")) * norm(F.col("qe"))), 4).alias(
+                "sim"
+            ),
+        )
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+def _sql_ann_cosine_topk():
+    return """
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round(list_sum(list_transform(list_zip(e.embedding, q.qe),
+                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(e.embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(q.qe,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+             4) AS sim
+    FROM embeddings e, q WHERE e.vec_id <> 0
+    ORDER BY sim DESC, e.vec_id ASC LIMIT 10
+    """
+
+
+def q_lang_id_heuristic(spark, sf_dir):
+    """Language-ID heuristic: stopword-hit ratio over whitespace tokens.
+    Pure built-ins (filter over split array) → JVM-side at scale."""
+    d = _t(spark, sf_dir, "documents")
+    stop = ["the", "a", "of", "and", "to", "in", "is", "for", "on", "with"]
+    toks = F.split(F.col("text"), " ")
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stop)))
+    ratio = F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+    return d.select(
+        "doc_id",
+        F.round(ratio, 4).alias("stop_ratio"),
+        F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("unk")).alias(
+            "pred_lang"
+        ),
+    )
+
+
+def _sql_lang_id_heuristic():
+    return """
+    SELECT doc_id,
+           round(r, 4) AS stop_ratio,
+           CASE WHEN r >= 0.05 THEN 'en' ELSE 'unk' END AS pred_lang
+    FROM (
+      SELECT doc_id,
+             CASE WHEN len(string_split(text, ' ')) > 0 THEN
+               CAST(len(list_filter(string_split(text, ' '),
+                    t -> t IN ('the','a','of','and','to','in','is','for','on','with')))
+                    AS DOUBLE) / len(string_split(text, ' '))
+             ELSE 0.0 END AS r
+      FROM documents)
+    """
+
+
+def q_quality_score(spark, sf_dir):
+    """Quality scoring: length/uniqueness ratios (the pp_pg_quality analog,
+    emop/lib/processes/page_evaluator.py [U]) as pure column arithmetic."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_toks = F.size(toks)
+    uniq = F.size(F.array_distinct(toks))
+    return d.select(
+        "doc_id",
+        n_toks.alias("n_tokens"),
+        F.round(
+            F.when(n_toks > 0, uniq.cast("double") / n_toks).otherwise(0.0), 4
+        ).alias("uniq_ratio"),
+        F.round(
+            F.when(
+                n_toks > 0, F.length("text").cast("double") / n_toks
+            ).otherwise(0.0),
+            4,
+        ).alias("avg_tok_len"),
+    )
+
+
+def _sql_quality_score():
+    return """
+    SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+           round(CASE WHEN len(string_split(text,' ')) > 0 THEN
+             CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+               / len(string_split(text,' ')) ELSE 0.0 END, 4) AS uniq_ratio,
+           round(CASE WHEN len(string_split(text,' ')) > 0 THEN
+             CAST(length(text) AS DOUBLE) / len(string_split(text,' '))
+             ELSE 0.0 END, 4) AS avg_tok_len
+    FROM documents
+    """
+
+
+def q_token_count(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish regex word/number/other
+    pieces (char-class regex — identical semantics across engines)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), r"\s+")).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0
+            )
+        ).alias("bpe_tokens"),
+    )
+
+
+def _sql_token_count():
+    return r"""
+    SELECT doc_id,
+           len(string_split_regex(text, '\s+')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+             AS bpe_tokens
+    FROM documents
+    """
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """N-gram Jaccard near-dup candidate pairs via explode + self-join on
+    shared 3-gram shingles, exact Jaccard over distinct-shingle counts.
+    Scale path: this is the verify stage AFTER LSH bucketing (below) prunes
+    candidates; quadratic blowup never materializes because the join is on
+    shingle buckets, not a cross join."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0))
+                    ),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(toks, i + 1),
+                        F.element_at(toks, i + 2),
+                        F.element_at(toks, i + 3),
+                    ),
+                )
+            )
+        ).alias("shingle"),
+    ).where(F.length("shingle") > 0)
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
+    return (
+        inter.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("ca.n_sh") + F.col("cb.n_sh") - F.col("n_inter")),
+                4,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.2)
+    )
+
+
+def _sql_ngram_jaccard_pairs():
+    return """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, s AS shingle FROM toks,
+        UNNEST(list_transform(
+          range(0, CASE WHEN len(t) - 3 > 0 THEN len(t) - 3 ELSE 0 END + 1),
+          i -> concat_ws(' ', t[i+1], t[i+2], t[i+3]))) AS u(s)
+      WHERE length(s) > 0),
+    counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(CAST(n_inter AS DOUBLE)
+                 / (ca.n_sh + cb.n_sh - n_inter), 4) AS jaccard
+    FROM inter
+    JOIN counts ca ON doc_a = ca.doc_id
+    JOIN counts cb ON doc_b = cb.doc_id
+    WHERE CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) >= 0.2
+    """
+
+
+N_MINHASH = 16
+LSH_BANDS = 4  # 4 bands x 4 rows
+
+
+def q_minhash_signatures(spark, sf_dir):
+    """MinHash signatures fully JVM-side: per permutation k, the signature
+    is min over shingles of xxhash64(shingle, k) — higher-order functions
+    only, no Python in the loop. Non-oracle (hash function is
+    engine-specific); correctness is pinned by tests/test_dedup.py against
+    a pure-Python reimplementation of the same xxhash-free brute force.
+    Scale: O(docs x shingles) map-side, no shuffle at all."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0))),
+            lambda i: F.concat_ws(
+                " ",
+                F.try_element_at(toks, i + 1),
+                F.try_element_at(toks, i + 2),
+                F.try_element_at(toks, i + 3),
+            ),
+        )
+    )
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(N_MINHASH - 1)),
+        lambda k: F.aggregate(
+            shingles,
+            F.lit(None).cast("long"),
+            lambda acc, s: F.least(
+                F.coalesce(acc, F.lit((1 << 62) - 1)),
+                F.xxhash64(s, k.cast("string")),
+            ),
+        ),
+    )
+    return d.select("doc_id", sig.alias("minhash"))
+
+
+def q_lsh_bucket_candidates(spark, sf_dir):
+    """MinHash-LSH near-dup candidates: band the signature (4 bands x 4
+    rows), hash each band, groupBy (band_idx, band_hash) → docs sharing any
+    band bucket are candidate pairs. The only shuffle is on band hashes —
+    the scale path for near-dedup at 10^12 docs. Non-oracle (engine hash);
+    verified in tests against exact Jaccard."""
+    sigs = q_minhash_signatures(spark, sf_dir)
+    rows_per_band = N_MINHASH // LSH_BANDS
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
+                lambda b: F.struct(
+                    b.alias("band_idx"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(
+                                    F.col("minhash"),
+                                    b * rows_per_band + 1,
+                                    rows_per_band,
+                                ),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def q_simhash_fingerprint(spark, sf_dir):
+    """64-bit SimHash per document, fully JVM-side: per bit position, sum
+    (+1/-1) votes of each token hash's bit → sign becomes the bit. Built
+    from transform/aggregate/filter over the token array — no UDF, no
+    shuffle. Non-oracle (engine hash); determinism + Hamming behaviour
+    covered in tests/test_dedup.py."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split(F.col("text"), " "))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    # 64 statically-unrolled bit positions (shiftright needs a literal int);
+    # bit 63 maps to long-min in two's complement.
+    def _bit_vote(i: int):
+        # factory, not a default-arg lambda: pyspark derives the lambda-var
+        # count from the function signature, so it must be exactly (acc, x)
+        def fold(a, h):
+            return a + F.when(
+                F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
+
+        return fold
+
+    terms = []
+    for i in range(64):
+        vote = F.aggregate(hashes, F.lit(0), _bit_vote(i))
+        weight = F.lit(-(1 << 63) if i == 63 else (1 << i)).cast("long")
+        terms.append(F.when(vote > 0, weight).otherwise(F.lit(0).cast("long")))
+    simhash = terms[0]
+    for t in terms[1:]:
+        simhash = simhash + t
+    return d.select("doc_id", simhash.alias("simhash"))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Rolling-hash document fingerprint (winnowing-lite): min/max/count of
+    xxhash64 over character 8-grams — a content-defined signature robust to
+    reordering of container fields. JVM-side sequence+transform; non-oracle
+    (engine hash), determinism pinned in tests."""
+    d = _t(spark, sf_dir, "documents")
+    grams = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.length("text") - 7, F.lit(1))
+        ),
+        lambda i: F.xxhash64(F.col("text").substr(i, F.lit(8))),
+    )
+    return d.select(
+        "doc_id",
+        F.array_min(grams).alias("fp_min"),
+        F.array_max(grams).alias("fp_max"),
+        F.size(grams).alias("n_grams"),
+    )
+
+
+# =========================================================================
+# Registry
+# =========================================================================
+
+_ORACLE: dict[str, str | None] = {}
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+
+def _reg(name: str, fn, sql: str | None) -> None:
+    _QUERIES[name] = fn
+    if sql is not None:
+        _ORACLE[name] = sql
+
+
+_reg("pricing_summary", q_pricing_summary, _sql_pricing_summary())
+_reg("distinct_agg", q_distinct_agg, _sql_distinct_agg())
+_reg("rollup_doc_metrics", q_rollup_doc_metrics, _sql_rollup_doc_metrics())
+_reg("cube_events", q_cube_events, _sql_cube_events())
+_reg("broadcast_dim_join", q_broadcast_dim_join, _sql_broadcast_dim_join())
+_reg("anti_join_pending", q_anti_join_pending, _sql_anti_join_pending())
+_reg("semi_join", q_semi_join, _sql_semi_join())
+_reg("salted_skew_join", q_salted_skew_join, _sql_salted_skew_join())
+_reg("latest_crawl_dedup", q_latest_crawl_dedup, _sql_latest_crawl_dedup())
+_reg("running_totals", q_running_totals, _sql_running_totals())
+_reg("topk_hot_keys", q_topk_hot_keys, _sql_topk_hot_keys())
+_reg("set_ops", q_set_ops, _sql_set_ops())
+_reg("string_funcs", q_string_funcs, _sql_string_funcs())
+_reg("date_funcs", q_date_funcs, _sql_date_funcs())
+_reg("json_funcs", q_json_funcs, _sql_json_funcs())
+_reg("array_funcs", q_array_funcs, _sql_array_funcs())
+_reg("dedup_exact", q_dedup_exact, _sql_dedup_exact())
+_reg("ann_cosine_topk", q_ann_cosine_topk, _sql_ann_cosine_topk())
+_reg("lang_id_heuristic", q_lang_id_heuristic, _sql_lang_id_heuristic())
+_reg("quality_score", q_quality_score, _sql_quality_score())
+_reg("token_count", q_token_count, _sql_token_count())
+_reg("ngram_jaccard_pairs", q_ngram_jaccard_pairs, _sql_ngram_jaccard_pairs())
+_reg("minhash_signatures", q_minhash_signatures, None)
+_reg("lsh_bucket_candidates", q_lsh_bucket_candidates, None)
+_reg("simhash_fingerprint", q_simhash_fingerprint, None)
+_reg("doc_fingerprint", q_doc_fingerprint, None)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLE)

@@ -1,0 +1,119 @@
+"""Correctness of the engine-hash dedup/fingerprint operators that carry no
+DuckDB oracle: MinHash ≈ Jaccard, LSH candidate recall vs exact n-gram
+Jaccard, SimHash Hamming locality, fingerprint determinism."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from engine.queries import (
+    N_MINHASH,
+    q_lsh_bucket_candidates,
+    q_minhash_signatures,
+    q_ngram_jaccard_pairs,
+    q_simhash_fingerprint,
+    q_doc_fingerprint,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _shingles(text: str) -> set[str]:
+    t = text.split(" ")
+    return {" ".join(t[i : i + 3]) for i in range(max(len(t) - 2, 1))}
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+
+
+def test_minhash_estimates_jaccard(spark, docs):
+    sigs = {r["doc_id"]: r["minhash"] for r in q_minhash_signatures(spark, SF).collect()}
+    assert all(len(s) == N_MINHASH for s in sigs.values())
+    ids = sorted(docs)[:30]
+    errs = []
+    for a in ids:
+        for b in ids:
+            if a >= b:
+                continue
+            sa, sb = _shingles(docs[a]), _shingles(docs[b])
+            true_j = len(sa & sb) / len(sa | sb)
+            est = sum(x == y for x, y in zip(sigs[a], sigs[b])) / N_MINHASH
+            errs.append(abs(true_j - est))
+    # 16 permutations → σ ≈ sqrt(j(1-j)/16) ≤ 0.125; mean abs error well under
+    assert sum(errs) / len(errs) < 0.15
+
+
+def test_lsh_candidates_superset_of_strong_pairs(spark, docs):
+    """Any pair with exact Jaccard ≥ 0.8 must land in an LSH bucket
+    (4 bands x 4 rows → P(candidate | j=0.8) = 1-(1-0.8^4)^4 ≈ 0.93; the
+    synthetic near-dup pairs in testdata are exact dups, j=1 → P=1)."""
+    strong = {
+        (r["doc_a"], r["doc_b"])
+        for r in q_ngram_jaccard_pairs(spark, SF).collect()
+        if r["jaccard"] >= 0.999
+    }
+    cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in q_lsh_bucket_candidates(spark, SF).collect()
+    }
+    assert strong <= cands
+    # and LSH isn't degenerate (doesn't pair everything with everything)
+    n_docs = len(docs)
+    assert len(cands) < n_docs * (n_docs - 1) / 20
+
+
+def test_simhash_locality(spark, docs):
+    sh = {r["doc_id"]: r["simhash"] for r in q_simhash_fingerprint(spark, SF).collect()}
+
+    def hamming(a: int, b: int) -> int:
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    # identical texts → identical simhash
+    by_text: dict[str, list[int]] = {}
+    for d, t in docs.items():
+        by_text.setdefault(t, []).append(d)
+    for ids in by_text.values():
+        vals = {sh[i] for i in ids}
+        assert len(vals) == 1
+    # locality: pairs with higher token-set Jaccard must sit closer in
+    # Hamming space than low-Jaccard pairs (the testdata vocabulary is tiny,
+    # so absolute distances are small — the ORDERING is the property).
+    ids = sorted(docs)[:40]
+    scored = []
+    for a in ids:
+        for b in ids:
+            if a >= b or docs[a] == docs[b]:
+                continue
+            ta, tb = set(docs[a].split()), set(docs[b].split())
+            j = len(ta & tb) / len(ta | tb)
+            scored.append((j, hamming(sh[a], sh[b])))
+    scored.sort()
+    k = len(scored) // 10
+    low_j = sum(h for _, h in scored[:k]) / k
+    high_j = sum(h for _, h in scored[-k:]) / k
+    assert high_j < low_j
+
+
+def test_fingerprint_deterministic(spark):
+    a = {tuple(r) for r in q_doc_fingerprint(spark, SF).collect()}
+    b = {tuple(r) for r in q_doc_fingerprint(spark, SF).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_fingerprint_no_python_udf(spark):
+    """All four engine-hash ops must stay JVM-side: no BatchEvalPython /
+    ArrowEvalPython / mapInPandas in their physical plans."""
+    for q in (
+        q_minhash_signatures,
+        q_simhash_fingerprint,
+        q_doc_fingerprint,
+        q_lsh_bucket_candidates,
+    ):
+        plan = q(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan, q.__name__
