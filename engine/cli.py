@@ -1,0 +1,154 @@
+"""CLI entry point — the emopcmd.py analog (emopcmd.py :: main [U]).
+
+Verbs map 1:1 to the reference controller's:
+
+  query    → pending/committed partition counts for a run   (emop_query  [U])
+  enqueue  → size a run + commit a pending manifest         (emop_submit [U])
+  run      → process pending partitions in committed waves  (emop_run    [U])
+  retry    → re-extract failed urls (MERGE-emulated)        (retry semantics)
+  rollup   → per-run/partition metrics rollup               (emop_upload [U])
+  synth    → write a deterministic pages corpus (test/bench input)
+
+Deployment shape per BASELINE.json:14: zip the package and submit —
+
+  cd /root/repo && zip -qr /tmp/engine.zip engine
+  spark-submit --py-files /tmp/engine.zip -m ... engine/cli.py run \
+      --pages /data/pages.parquet --runs-root /data/runs --run-id r1
+
+(in-sandbox, plain `python -m engine.cli ...` starts the same local session).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(cores: str = "*"):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.appName("engine-cli")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="engine", description=__doc__)
+    sub = p.add_subparsers(dest="verb", required=True)
+
+    sp = sub.add_parser("synth")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--docs", type=int, default=10000)
+    sp.add_argument("--partitions", type=int, default=32)
+
+    qp = sub.add_parser("query")
+    qp.add_argument("--runs-root", required=True)
+    qp.add_argument("--run-id", required=True)
+
+    ep = sub.add_parser("enqueue")
+    ep.add_argument("--pages", required=True)
+    ep.add_argument("--runs-root", required=True)
+    ep.add_argument("--run-id")
+    ep.add_argument("--target-partition-mb", type=int, default=64)
+
+    rp = sub.add_parser("run")
+    rp.add_argument("--pages", required=True)
+    rp.add_argument("--runs-root", required=True)
+    rp.add_argument("--run-id", required=True)
+    rp.add_argument("--wave-size", type=int, default=8)
+    rp.add_argument("--max-waves", type=int)
+
+    tp = sub.add_parser("retry")
+    tp.add_argument("--pages", required=True)
+    tp.add_argument("--runs-root", required=True)
+    tp.add_argument("--run-id", required=True)
+
+    up = sub.add_parser("rollup")
+    up.add_argument("--runs-root", required=True)
+    up.add_argument("--run-id", required=True)
+
+    a = p.parse_args(argv)
+    spark = _spark()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from engine.jobs.extract_job import (
+        enqueue,
+        retry_failed,
+        rollup_metrics,
+        run_extract_job,
+    )
+    from engine.manifest import RunManifest
+
+    if a.verb == "synth":
+        from engine.synth import generate_pages
+
+        generate_pages(spark, a.docs, partitions=a.partitions).write.mode(
+            "overwrite"
+        ).parquet(a.out)
+        print(json.dumps({"written": a.out, "docs": a.docs}))
+    elif a.verb == "query":
+        m = RunManifest.load(a.runs_root, a.run_id)
+        print(
+            json.dumps(
+                {
+                    "run_id": a.run_id,
+                    "pending": len(m.pending_partitions()),
+                    "committed": len(m.committed_partitions()),
+                    "complete": m.is_complete(),
+                }
+            )
+        )
+    elif a.verb == "enqueue":
+        pages = spark.read.parquet(a.pages)
+        m = enqueue(
+            spark,
+            pages,
+            a.runs_root,
+            target_partition_bytes=a.target_partition_mb << 20,
+            run_id=a.run_id,
+        )
+        st = m.state()
+        print(
+            json.dumps(
+                {
+                    "run_id": m.run_id,
+                    "n_partitions": st["n_partitions"],
+                    "total_bytes": st["total_bytes"],
+                }
+            )
+        )
+    elif a.verb == "run":
+        pages = spark.read.parquet(a.pages)
+        m = RunManifest.load(a.runs_root, a.run_id)
+        res = run_extract_job(
+            spark, pages, m, wave_size=a.wave_size, max_waves=a.max_waves
+        )
+        print(json.dumps(res))
+    elif a.verb == "retry":
+        pages = spark.read.parquet(a.pages)
+        m = RunManifest.load(a.runs_root, a.run_id)
+        print(json.dumps(retry_failed(spark, pages, m)))
+    elif a.verb == "rollup":
+        m = RunManifest.load(a.runs_root, a.run_id)
+        rows = rollup_metrics(spark, m).collect()
+        print(
+            json.dumps(
+                [
+                    {k: r[k] for k in ("run_id", "partition_id", "docs",
+                                       "bytes", "wall_ms")}
+                    for r in rows
+                ],
+                default=str,
+            )
+        )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

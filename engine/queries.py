@@ -37,6 +37,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _t_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan + explicit fan-out for CPU-heavy per-row operators.
+
+    Small single-file tables arrive as ONE input split; an expression-heavy
+    map stage (minhash, simhash, shingling) then runs on one core. A cheap
+    round-robin repartition to the session's parallelism fixes the task
+    granularity — the local analog of 'size your map stage to the cluster,
+    not to the file count'. At 100 TB inputs have many splits and AQE
+    handles granularity, but the explicit floor costs one tiny shuffle and
+    never hurts."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet").repartition(
+        max(spark.sparkContext.defaultParallelism, 8)
+    )
+
+
 def _cents(col: str):
     return F.sum(F.round(F.col(col) * 100).cast("long"))
 
@@ -522,6 +537,75 @@ def _sql_ann_cosine_topk():
     """
 
 
+_LSH_BITS = 4
+_EMB_DIM = 64
+
+
+def _lsh_planes() -> list[list[float]]:
+    """Fixed sign-random-projection hyperplanes (deterministic literals —
+    plan-time constants, same role as a broadcast codebook)."""
+    import random as _r
+
+    rng = _r.Random(7)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(_EMB_DIM)] for _ in range(_LSH_BITS)
+    ]
+
+
+def _vec_dot_plane(vec_col, plane: list[float]):
+    lits = F.array(*[F.lit(float(x)) for x in plane])
+    return F.aggregate(
+        F.zip_with(vec_col, lits, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def q_ann_lsh_bucketed(spark, sf_dir):
+    """Scale-path ANN: sign-random-projection LSH bucketing + in-bucket
+    brute force. Each vector gets a 4-bit code (sign of dot with 4 fixed
+    hyperplanes, all JVM-side); the query probes its own bucket plus all
+    Hamming-distance-1 codes, then exact cosine ranks the candidates.
+    At 10^9 vectors: the code is a partition key — the probe touches
+    (1+bits)/2^bits of the data instead of all of it, and the in-bucket
+    scan is the same brute-force kernel as q_ann_cosine_topk.
+    Non-oracle (recall-vs-brute-force is pinned in tests/test_ann.py)."""
+    e = _t(spark, sf_dir, "embeddings")
+    planes = _lsh_planes()
+    code = None
+    for j, pl in enumerate(planes):
+        bit = F.when(_vec_dot_plane(F.col("embedding"), pl) > 0, F.lit(1 << j)).otherwise(
+            F.lit(0)
+        )
+        code = bit if code is None else code + bit
+    coded = e.withColumn("code", code)
+    qrow = coded.where(F.col("vec_id") == 0).select("embedding", "code").collect()[0]
+    probe = [qrow["code"]] + [qrow["code"] ^ (1 << j) for j in range(_LSH_BITS)]
+    qe = F.array(*[F.lit(float(x)) for x in qrow["embedding"]])
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), qe, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    qnorm = sum(float(x) * float(x) for x in qrow["embedding"]) ** 0.5
+    return (
+        coded.where(F.col("code").isin(probe) & (F.col("vec_id") != 0))
+        .select(
+            "vec_id",
+            F.round(dot / (norm(F.col("embedding")) * F.lit(qnorm)), 4).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
 def q_lang_id_heuristic(spark, sf_dir):
     """Language-ID heuristic: stopword-hit ratio over whitespace tokens.
     Pure built-ins (filter over split array) → JVM-side at scale."""
@@ -621,7 +705,7 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     Scale path: this is the verify stage AFTER LSH bucketing (below) prunes
     candidates; quadratic blowup never materializes because the join is on
     shingle buckets, not a cross join."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _t_spread(spark, sf_dir, "documents").select("doc_id", "text")
     toks = F.split(F.col("text"), " ")
     sh = d.select(
         "doc_id",
@@ -703,7 +787,7 @@ def q_minhash_signatures(spark, sf_dir):
     engine-specific); correctness is pinned by tests/test_dedup.py against
     a pure-Python reimplementation of the same xxhash-free brute force.
     Scale: O(docs x shingles) map-side, no shuffle at all."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t_spread(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     shingles = F.array_distinct(
         F.transform(
@@ -719,7 +803,9 @@ def q_minhash_signatures(spark, sf_dir):
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(N_MINHASH - 1)),
         lambda k: F.aggregate(
-            shingles,
+            # `shingles` is a materialized column here (projected below), so
+            # the tokenize+shingle tree evaluates ONCE per row, not 16x
+            F.col("shingles"),
             F.lit(None).cast("long"),
             lambda acc, s: F.least(
                 F.coalesce(acc, F.lit((1 << 62) - 1)),
@@ -727,7 +813,10 @@ def q_minhash_signatures(spark, sf_dir):
             ),
         ),
     )
-    return d.select("doc_id", sig.alias("minhash"))
+    return (
+        d.select("doc_id", shingles.alias("shingles"))
+        .select("doc_id", sig.alias("minhash"))
+    )
 
 
 def q_lsh_bucket_candidates(spark, sf_dir):
@@ -784,7 +873,7 @@ def q_simhash_fingerprint(spark, sf_dir):
     from transform/aggregate/filter over the token array — no UDF, no
     shuffle. Non-oracle (engine hash); determinism + Hamming behaviour
     covered in tests/test_dedup.py."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t_spread(spark, sf_dir, "documents")
     toks = F.array_distinct(F.split(F.col("text"), " "))
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
     # 64 statically-unrolled bit positions (shiftright needs a literal int);
@@ -815,7 +904,7 @@ def q_doc_fingerprint(spark, sf_dir):
     xxhash64 over character 8-grams — a content-defined signature robust to
     reordering of container fields. JVM-side sequence+transform; non-oracle
     (engine hash), determinism pinned in tests."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t_spread(spark, sf_dir, "documents")
     grams = F.transform(
         F.sequence(
             F.lit(1), F.greatest(F.length("text") - 7, F.lit(1))
@@ -862,6 +951,7 @@ _reg("json_funcs", q_json_funcs, _sql_json_funcs())
 _reg("array_funcs", q_array_funcs, _sql_array_funcs())
 _reg("dedup_exact", q_dedup_exact, _sql_dedup_exact())
 _reg("ann_cosine_topk", q_ann_cosine_topk, _sql_ann_cosine_topk())
+_reg("ann_lsh_bucketed", q_ann_lsh_bucketed, None)
 _reg("lang_id_heuristic", q_lang_id_heuristic, _sql_lang_id_heuristic())
 _reg("quality_score", q_quality_score, _sql_quality_score())
 _reg("token_count", q_token_count, _sql_token_count())

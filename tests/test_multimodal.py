@@ -1,0 +1,86 @@
+"""Multimodal binary-column plumbing tests: schema, batch shape, failure
+containment, determinism, and the explicit real-decode seam."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from engine.multimodal import (
+    decode_image_fake,
+    decode_image_real,
+    encode_fake_image,
+    generate_media,
+    image_features,
+    image_meta,
+    sniff_image_meta,
+)
+
+
+def test_real_decode_is_marked_seam():
+    with pytest.raises(NotImplementedError):
+        decode_image_real(b"anything")
+
+
+def test_fake_codec_roundtrip():
+    data = encode_fake_image(7, 4, 3, 3)
+    w, h, c, px = decode_image_fake(data)
+    assert (w, h, c) == (4, 3, 3) and len(px) == 36
+    meta = sniff_image_meta(data)
+    assert meta["parse_ok"] and meta["fmt"] == "ppmx"
+    assert not sniff_image_meta(b"junk")["parse_ok"]
+
+
+def test_spark_meta_and_features(spark):
+    media = generate_media(spark, 200, partitions=4)
+    meta = image_meta(media).cache()
+    assert meta.count() == 200
+    ok = meta.where("parse_ok").count()
+    bad = meta.where("NOT parse_ok").count()
+    assert bad == len([i for i in range(200) if i % 17 == 0])
+    assert ok + bad == 200
+
+    feats = image_features(media).cache()
+    okf = feats.where(F.col("status") == "ok")
+    assert okf.count() == ok
+    # feature vectors: fixed dim, floats in [0,1]
+    dims = okf.select(F.size("features").alias("d")).distinct().collect()
+    assert [r["d"] for r in dims] == [8]
+    bad_vals = okf.where(
+        F.exists("features", lambda x: (x < 0) | (x > 1))
+    ).count()
+    assert bad_vals == 0
+    # failed rows carry no features
+    assert feats.where(
+        (F.col("status") == "failed") & F.col("features").isNotNull()
+    ).count() == 0
+    meta.unpersist(); feats.unpersist()
+
+
+def test_features_deterministic(spark):
+    norm = lambda rows: {  # noqa: E731
+        (r["media_id"], tuple(r["features"] or []), r["status"]) for r in rows
+    }
+    a = norm(image_features(generate_media(spark, 60)).collect())
+    b = norm(image_features(generate_media(spark, 60, partitions=3)).collect())
+    assert a == b
+
+
+def test_features_feed_ann_operator(spark):
+    """Plumbing check: multimodal features compose with the cosine top-k."""
+    feats = image_features(generate_media(spark, 100)).where(
+        F.col("status") == "ok"
+    )
+    q = feats.limit(1).select(F.col("features").alias("qe"))
+    dot = F.aggregate(
+        F.zip_with("features", "qe", lambda a, b: a * b), F.lit(0.0),
+        lambda acc, x: acc + x.cast("double"),
+    )
+    top = (
+        feats.crossJoin(F.broadcast(q))
+        .select("media_id", dot.alias("dot"))
+        .orderBy(F.desc("dot"), F.asc("media_id"))
+        .limit(5)
+        .collect()
+    )
+    assert len(top) == 5 and all(r["dot"] is not None for r in top)

@@ -25,4 +25,5 @@ def test_all_queries_match_oracle(spark):
         "lsh_bucket_candidates",
         "simhash_fingerprint",
         "doc_fingerprint",
+        "ann_lsh_bucketed",
     }
