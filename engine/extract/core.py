@@ -181,7 +181,8 @@ def tokenize_blocks(src: str) -> tuple[list[Block], int]:
     # per-parent same-tag sibling counters for node paths like div[2]/p[1]
     child_counts: list[dict[str, int]] = [{}]
     link_depth = 0
-    cur = Block()
+    cur: Block | None = None
+    low: str | None = None
 
     def state() -> _Elem:
         if stack:
@@ -190,17 +191,19 @@ def tokenize_blocks(src: str) -> tuple[list[Block], int]:
 
     def flush() -> None:
         nonlocal cur
-        if cur.words:
+        if cur is not None and cur.words:
             blocks.append(cur)
-        cur = Block()
+        cur = None  # lazily re-created on next text run (hot path)
 
     def add_text(run: str, start: int, end: int) -> None:
         nonlocal cur
-        st = state()
-        words = _WS_RE.split(_unescape(run).strip())
-        words = [w for w in words if w]
+        # str.split() == \s+-split + strip + drop-empties, but in C
+        words = _unescape(run).split()
         if not words:
             return
+        st = state()
+        if cur is None:
+            cur = Block()
         if not cur.words:
             cur.node_path = st.path or "html"
             cur.start = start
@@ -222,18 +225,18 @@ def tokenize_blocks(src: str) -> tuple[list[Block], int]:
             break
         if lt > i:
             add_text(src[i:lt], i, lt)
-        # inspect what follows '<'
-        if src.startswith("<!--", lt):
-            close = src.find("-->", lt + 4)
-            i = n if close == -1 else close + 3
+        # inspect what follows '<' (single char compare, not startswith)
+        nxt = src[lt + 1 : lt + 2]
+        if nxt == "!" or nxt == "?":
+            if src.startswith("<!--", lt):
+                close = src.find("-->", lt + 4)
+                i = n if close == -1 else close + 3
+            else:
+                close = src.find(">", lt + 2)
+                i = n if close == -1 else close + 1
             n_tags += 1
             continue
-        if src.startswith("<!", lt) or src.startswith("<?", lt):
-            close = src.find(">", lt + 2)
-            i = n if close == -1 else close + 1
-            n_tags += 1
-            continue
-        if src.startswith("</", lt):
+        if nxt == "/":
             m = _TAG_NAME_RE.match(src, lt + 2)
             if not m:
                 add_text("<", lt, lt + 1)
@@ -261,19 +264,25 @@ def tokenize_blocks(src: str) -> tuple[list[Block], int]:
             i = lt + 1
             continue
         tag = m.group(0).lower()
-        # find tag end, honouring quoted attribute values
-        j = m.end()
-        in_q = ""
-        while j < n:
-            c = src[j]
-            if in_q:
-                if c == in_q:
-                    in_q = ""
-            elif c in ('"', "'"):
-                in_q = c
-            elif c == ">":
-                break
-            j += 1
+        # find tag end, honouring quoted attribute values. Fast path: C-level
+        # find('>'); the char-by-char scan only runs when the attr segment
+        # contains quotes (which may hide a '>').
+        j = src.find(">", m.end())
+        if j == -1:
+            j = n
+        elif '"' in src[m.end() : j] or "'" in src[m.end() : j]:
+            j = m.end()
+            in_q = ""
+            while j < n:
+                c = src[j]
+                if in_q:
+                    if c == in_q:
+                        in_q = ""
+                elif c == '"' or c == "'":
+                    in_q = c
+                elif c == ">":
+                    break
+                j += 1
         raw_attrs = src[m.end() : j]
         self_close = raw_attrs.rstrip().endswith("/")
         i = j + 1 if j < n else n
@@ -295,7 +304,8 @@ def tokenize_blocks(src: str) -> tuple[list[Block], int]:
             continue
         if tag in _RAWTEXT_TAGS:
             # skip raw content up to the matching close tag (case-insensitive)
-            low = src.lower()
+            if low is None:
+                low = src.lower()  # lazily, once per document
             close = low.find("</" + tag, i)
             if close == -1:
                 i = n
@@ -310,10 +320,13 @@ def tokenize_blocks(src: str) -> tuple[list[Block], int]:
         idx = counts.get(tag, 0) + 1
         counts[tag] = idx
         path = f"{st.path}/{tag}[{idx}]" if st.path else f"{tag}[{idx}]"
-        attrs = _parse_attrs(raw_attrs)
-        hint_src = (attrs.get("class", "") + " " + attrs.get("id", "")).strip()
-        neg = st.neg or bool(hint_src and _NEGATIVE_HINT.search(hint_src))
-        pos = st.pos or bool(hint_src and _POSITIVE_HINT.search(hint_src))
+        neg, pos = st.neg, st.pos
+        # attr parse only when a class/id hint can possibly be present
+        if "class" in raw_attrs or "id" in raw_attrs:
+            attrs = _parse_attrs(raw_attrs)
+            hint_src = (attrs.get("class", "") + " " + attrs.get("id", "")).strip()
+            neg = neg or bool(hint_src and _NEGATIVE_HINT.search(hint_src))
+            pos = pos or bool(hint_src and _POSITIVE_HINT.search(hint_src))
         ignored = st.ignored or tag in _IGNORE_SUBTREE_TAGS
         container = path if tag in _CONTAINER_TAGS else st.container
         heading = st.heading or tag in ("h1", "h2", "h3", "h4", "h5", "h6", "title")
