@@ -463,6 +463,73 @@ def _sql_array_funcs():
     """
 
 
+def q_approx_distinct(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++): the cardinality estimator used
+    for salting decisions at scale (SURVEY.md §3.3). Non-oracle — DuckDB's
+    approx sketch differs by design; tests pin the estimate within 5% of the
+    exact count."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.approx_count_distinct("event_id").alias("approx_events"),
+    )
+
+
+def q_time_window_agg(spark, sf_dir):
+    """Tumbling batch window (F.window, the warc_ts '1 day' batch-cut of
+    SURVEY.md §3.3) — aligned tumbling windows equal date_trunc buckets, so
+    the oracle expresses the same cut portably."""
+    ev = _t(spark, sf_dir, "events")
+    w = F.window("ts", "1 day")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), _cents("value").alias("cents"))
+        .select(
+            F.unix_timestamp("w.start").alias("win_start_epoch"),
+            "event_type",
+            "n",
+            "cents",
+        )
+    )
+
+
+def _sql_time_window_agg():
+    return """
+    SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS win_start_epoch,
+           event_type, count(*) AS n,
+           sum(CAST(round(value * 100) AS BIGINT)) AS cents
+    FROM events GROUP BY 1, 2
+    """
+
+
+def q_math_funcs(spark, sf_dir):
+    """Math family: round/floor/ceil/log/pow/pmod/greatest/least."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.log(F.col("l_extendedprice") + 1), 4).alias("log_price"),
+        F.floor("l_quantity").cast("long").alias("qty_floor"),
+        F.ceil(F.col("l_discount") * 10).cast("long").alias("disc_decile"),
+        F.pmod(F.col("l_orderkey"), F.lit(7)).cast("long").alias("bucket7"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.round(F.pow(F.col("l_discount"), 2), 6).alias("disc_sq"),
+    )
+
+
+def _sql_math_funcs():
+    return """
+    SELECT l_orderkey, l_linenumber,
+           round(ln(l_extendedprice + 1), 4) AS log_price,
+           CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+           CAST(ceil(l_discount * 10) AS BIGINT) AS disc_decile,
+           CAST(l_orderkey % 7 AS BIGINT) AS bucket7,
+           greatest(l_tax, l_discount) AS max_rate,
+           round(pow(l_discount, 2), 6) AS disc_sq
+    FROM lineitem
+    """
+
+
 # =========================================================================
 # Training-data pipeline operators (generic-prompt first-class set)
 # =========================================================================
@@ -949,6 +1016,9 @@ _reg("string_funcs", q_string_funcs, _sql_string_funcs())
 _reg("date_funcs", q_date_funcs, _sql_date_funcs())
 _reg("json_funcs", q_json_funcs, _sql_json_funcs())
 _reg("array_funcs", q_array_funcs, _sql_array_funcs())
+_reg("approx_distinct", q_approx_distinct, None)
+_reg("time_window_agg", q_time_window_agg, _sql_time_window_agg())
+_reg("math_funcs", q_math_funcs, _sql_math_funcs())
 _reg("dedup_exact", q_dedup_exact, _sql_dedup_exact())
 _reg("ann_cosine_topk", q_ann_cosine_topk, _sql_ann_cosine_topk())
 _reg("ann_lsh_bucketed", q_ann_lsh_bucketed, None)

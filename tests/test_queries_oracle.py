@@ -26,4 +26,23 @@ def test_all_queries_match_oracle(spark):
         "simhash_fingerprint",
         "doc_fingerprint",
         "ann_lsh_bucketed",
+        "approx_distinct",
     }
+
+
+def test_approx_distinct_within_5pct(spark):
+    from engine.queries import q_approx_distinct, _t
+    import pyspark.sql.functions as F
+
+    sf = "/root/testdata/sf0.01"
+    approx = q_approx_distinct(spark, sf).collect()[0]
+    exact = (
+        _t(spark, sf, "events")
+        .agg(
+            F.countDistinct("user_id").alias("u"),
+            F.countDistinct("event_id").alias("e"),
+        )
+        .collect()[0]
+    )
+    assert abs(approx["approx_users"] - exact["u"]) <= 0.05 * exact["u"]
+    assert abs(approx["approx_events"] - exact["e"]) <= 0.05 * exact["e"]
