@@ -42,12 +42,15 @@ def extract_batches(
     for pdf in batches:
         urls = pdf["url"].tolist()
         htmls = pdf["html"].tolist()
-        rows = []
-        for url, html in zip(urls, htmls):
+        # column-wise assembly (dict-of-lists) — cheaper pandas/Arrow
+        # conversion than a list of per-row dicts
+        cols: dict[str, list] = {c: [] for c in _OUT_COLS}
+        cols["url"] = urls
+        for html in htmls:
             rec = extract_document(html)
-            rec["url"] = url
-            rows.append(rec)
-        yield pd.DataFrame(rows, columns=_OUT_COLS)
+            for c in _OUT_COLS[1:]:
+                cols[c].append(rec[c])
+        yield pd.DataFrame(cols, columns=_OUT_COLS)
 
 
 def run_extract(pages_df):
