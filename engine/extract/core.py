@@ -112,6 +112,11 @@ def _unescape(text: str) -> str:
 
 _WS_RE = re.compile(r"\s+")
 _TAG_NAME_RE = re.compile(r"[a-zA-Z][a-zA-Z0-9:-]*")
+# one C-level scan finds AND classifies the next markup candidate:
+# g1 comment, g2 decl/PI, g3(+g4) close tag, g5 open tag; bare '<' otherwise
+_MARKUP_RE = re.compile(
+    r"<(?:(!--)|([!?])|(/)([a-zA-Z][a-zA-Z0-9:-]*)?|([a-zA-Z][a-zA-Z0-9:-]*)|)"
+)
 _ATTR_RE = re.compile(
     r"""([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*(?:=\s*("[^"]*"|'[^']*'|[^\s>]*))?"""
 )
@@ -219,30 +224,30 @@ def tokenize_blocks(src: str) -> tuple[list[Block], int]:
         cur.end = end
 
     while i < n:
-        lt = src.find("<", i)
+        m = _MARKUP_RE.search(src, i)
+        lt = m.start() if m else -1
         if lt == -1:
             add_text(src[i:], i, n)
             break
         if lt > i:
             add_text(src[i:lt], i, lt)
-        # inspect what follows '<' (single char compare, not startswith)
-        nxt = src[lt + 1 : lt + 2]
-        if nxt == "!" or nxt == "?":
-            if src.startswith("<!--", lt):
-                close = src.find("-->", lt + 4)
-                i = n if close == -1 else close + 3
-            else:
-                close = src.find(">", lt + 2)
-                i = n if close == -1 else close + 1
+        if m.group(1):  # <!--
+            close = src.find("-->", lt + 4)
+            i = n if close == -1 else close + 3
             n_tags += 1
             continue
-        if nxt == "/":
-            m = _TAG_NAME_RE.match(src, lt + 2)
-            if not m:
+        if m.group(2):  # <! / <?
+            close = src.find(">", lt + 2)
+            i = n if close == -1 else close + 1
+            n_tags += 1
+            continue
+        if m.group(3):  # </
+            tag = m.group(4)
+            if not tag:
                 add_text("<", lt, lt + 1)
                 i = lt + 1
                 continue
-            tag = m.group(0).lower()
+            tag = tag.lower()
             close = src.find(">", m.end())
             i = n if close == -1 else close + 1
             n_tags += 1
@@ -258,12 +263,12 @@ def tokenize_blocks(src: str) -> tuple[list[Block], int]:
                     del child_counts[d + 1 :]
                     break
             continue
-        m = _TAG_NAME_RE.match(src, lt + 1)
-        if not m:
+        tag = m.group(5)
+        if not tag:  # bare '<' that starts no markup
             add_text("<", lt, lt + 1)
             i = lt + 1
             continue
-        tag = m.group(0).lower()
+        tag = tag.lower()
         # find tag end, honouring quoted attribute values. Fast path: C-level
         # find('>'); the char-by-char scan only runs when the attr segment
         # contains quotes (which may hide a '>').
