@@ -463,6 +463,62 @@ def _sql_array_funcs():
     """
 
 
+def q_pivot_events(spark, sf_dir):
+    """Pivot: per-user event-type counts as columns (static value list so
+    the plan is a single pass — dynamic pivot would need an extra distinct
+    scan at 100 TB). Oracle: portable conditional aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "error", "signup"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count("event_id"))
+    )
+    cols = [F.col("user_id")] + [
+        F.coalesce(F.col(k), F.lit(0)).cast("long").alias(f"n_{k}") for k in kinds
+    ]
+    return out.select(*cols)
+
+
+def _sql_pivot_events():
+    return """
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+           count(*) FILTER (WHERE event_type = 'view')     AS n_view,
+           count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+           count(*) FILTER (WHERE event_type = 'signup')   AS n_signup
+    FROM events GROUP BY user_id
+    """
+
+
+def q_correlated_above_avg(spark, sf_dir):
+    """Correlated scalar subquery (Catalyst decorrelates to an agg + join):
+    orders priced above their customer's average order price."""
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView(
+        "orders_v"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM orders_v o
+        WHERE o_totalprice > (SELECT avg(i.o_totalprice) FROM orders_v i
+                              WHERE i.o_custkey = o.o_custkey)
+        """
+    )
+
+
+def _sql_correlated_above_avg():
+    return """
+    SELECT o_orderkey, o_custkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM orders o
+    WHERE o_totalprice > (SELECT avg(i.o_totalprice) FROM orders i
+                          WHERE i.o_custkey = o.o_custkey)
+    """
+
+
 def q_approx_distinct(spark, sf_dir):
     """approx_count_distinct (HyperLogLog++): the cardinality estimator used
     for salting decisions at scale (SURVEY.md §3.3). Non-oracle — DuckDB's
@@ -1016,6 +1072,8 @@ _reg("string_funcs", q_string_funcs, _sql_string_funcs())
 _reg("date_funcs", q_date_funcs, _sql_date_funcs())
 _reg("json_funcs", q_json_funcs, _sql_json_funcs())
 _reg("array_funcs", q_array_funcs, _sql_array_funcs())
+_reg("pivot_events", q_pivot_events, _sql_pivot_events())
+_reg("correlated_above_avg", q_correlated_above_avg, _sql_correlated_above_avg())
 _reg("approx_distinct", q_approx_distinct, None)
 _reg("time_window_agg", q_time_window_agg, _sql_time_window_agg())
 _reg("math_funcs", q_math_funcs, _sql_math_funcs())
