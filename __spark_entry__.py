@@ -23,11 +23,11 @@ def entry(spark: SparkSession) -> DataFrame:
     extract stage as one vectorized mapInPandas pass, returning the
     `extracted` DataFrame (url, text, spans, metrics, status).
     """
-    from engine.extract.udf import run_extract
+    from engine.extract.udf import dedup_latest_crawl, run_extract
     from engine.synth import generate_pages
 
     pages = generate_pages(spark, 1000, partitions=8)
-    return run_extract(pages)
+    return run_extract(dedup_latest_crawl(pages))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

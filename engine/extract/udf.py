@@ -59,3 +59,19 @@ def run_extract(pages_df):
     return pages_df.select("url", "html").mapInPandas(
         extract_batches, schema=EXTRACTED_DDL
     )
+
+
+def dedup_latest_crawl(pages_df):
+    """One row per url: keep the latest warc_ts (re-crawl wins). The per-url
+    byte-identical invariant (BASELINE.json:14) is defined over THIS view —
+    a url extracted twice from two crawls is one logical document.
+    One shuffle on the dedup key (url), scale-safe."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    w = W.partitionBy("url").orderBy(F.desc("warc_ts"))
+    return (
+        pages_df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -89,3 +89,22 @@ def test_metrics_ranges(extracted):
         | (F.col("quality") > 1)
     )
     assert bad.count() == 0
+
+
+def test_entry_one_row_per_url(spark):
+    import __spark_entry__ as E
+
+    out = E.entry(spark)
+    total = out.count()
+    assert total == out.select("url").distinct().count() == 1000
+
+
+def test_spans_ordered_nonoverlapping(extracted):
+    rows = (
+        extracted.where(F.size("spans") > 1).select("spans").limit(50).collect()
+    )
+    assert rows
+    for r in rows:
+        spans = r["spans"]
+        for a, b in zip(spans, spans[1:]):
+            assert a["start"] < a["end"] <= b["start"] < b["end"]
