@@ -83,8 +83,8 @@ def q_pricing_summary(spark, sf_dir):
 def _sql_pricing_summary():
     return """
     SELECT l_returnflag, l_linestatus,
-           sum(CAST(round(l_quantity * 100) AS BIGINT))      AS sum_qty_cents,
-           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)      AS sum_qty_cents,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
            count(*)                                          AS count_order,
            round(avg(l_discount), 4)                         AS avg_disc
     FROM lineitem
@@ -109,7 +109,7 @@ def _sql_distinct_agg():
     SELECT event_type,
            count(DISTINCT user_id)                    AS n_users,
            count(*)                                   AS n_events,
-           sum(CAST(round(value * 100) AS BIGINT))    AS value_cents
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)    AS value_cents
     FROM events GROUP BY event_type
     """
 
@@ -127,7 +127,7 @@ def q_rollup_doc_metrics(spark, sf_dir):
 
 def _sql_rollup_doc_metrics():
     return """
-    SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+    SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
            min(doc_id) AS min_doc
     FROM documents GROUP BY ROLLUP(lang, source)
     """
@@ -147,7 +147,7 @@ def q_cube_events(spark, sf_dir):
 def _sql_cube_events():
     return """
     SELECT event_type, CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
-           count(*) AS n, sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+           count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
     FROM events GROUP BY CUBE(event_type, day_epoch)
     """
 
@@ -177,7 +177,7 @@ def q_broadcast_dim_join(spark, sf_dir):
 def _sql_broadcast_dim_join():
     return """
     SELECT p_brand, count(*) AS n_items,
-           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS revenue_cents
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
     FROM lineitem
     JOIN part ON l_partkey = p_partkey AND p_size <= 20
     JOIN supplier ON l_suppkey = s_suppkey
@@ -258,7 +258,7 @@ def _sql_salted_skew_join():
                         CAST(floor(epoch(min(ts))) AS BIGINT) AS first_epoch
                  FROM events GROUP BY user_id)
     SELECT e.user_id, d.first_epoch, count(*) AS n_events,
-           sum(CAST(round(e.value * 100) AS BIGINT)) AS value_cents
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS value_cents
     FROM events e JOIN dim d ON e.user_id = d.user_id
     GROUP BY e.user_id, d.first_epoch
     """
@@ -313,9 +313,10 @@ def q_running_totals(spark, sf_dir):
 def _sql_running_totals():
     return """
     SELECT event_id, user_id,
-           sum(CAST(round(value * 100) AS BIGINT))
+           CAST(sum(CAST(round(value * 100) AS BIGINT))
              OVER (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT)
              AS running_cents
     FROM events
     """
@@ -412,7 +413,7 @@ def _sql_date_funcs():
     return """
     SELECT CAST(epoch(date_trunc('week', ts)) AS BIGINT) AS week_epoch,
            CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
-           count(*) AS n, sum(CAST(round(value * 100) AS BIGINT)) AS cents
+           count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
     FROM events GROUP BY 1, 2
     """
 
@@ -431,7 +432,7 @@ def q_json_funcs(spark, sf_dir):
 def _sql_json_funcs():
     return """
     SELECT CAST(props->>'$.k' AS BIGINT) AS k, count(*) AS n,
-           sum(CAST(round(value * 100) AS BIGINT)) AS cents
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
     FROM events GROUP BY 1
     """
 
@@ -553,7 +554,7 @@ def _sql_time_window_agg():
     return """
     SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS win_start_epoch,
            event_type, count(*) AS n,
-           sum(CAST(round(value * 100) AS BIGINT)) AS cents
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
     FROM events GROUP BY 1, 2
     """
 
