@@ -449,10 +449,13 @@ def apply_tiebreak(blocks: list[Block], best_container: str) -> None:
 
 _PDF_BT_RE = re.compile(r"\bBT\b(.*?)\bET\b", re.DOTALL)
 _PDF_OP_RE = re.compile(
-    r"(-?[\d.]+)\s+(-?[\d.]+)\s+(?:Td|TD)"  # 1,2: move
-    r"|(?:(-?[\d.]+)\s+){4}(-?[\d.]+)\s+(-?[\d.]+)\s+Tm"  # 4,5: matrix e,f
-    r"|\(((?:[^()\\]|\\.)*)\)\s*Tj"  # 6: show
-    r"|\[((?:[^\]\\]|\\.)*)\]\s*TJ"  # 7: array show
+    r"(?P<tdx>-?[\d.]+)\s+(?P<tdy>-?[\d.]+)\s+(?P<tdop>Td|TD)"  # move (+leading for TD)
+    r"|(?:(-?[\d.]+)\s+){4}(?P<tme>-?[\d.]+)\s+(?P<tmf>-?[\d.]+)\s+Tm"  # matrix e,f
+    r"|(?P<tl>-?[\d.]+)\s+TL"  # set leading
+    r"|(?P<tstar>T\*)"  # next line
+    r"|\((?P<tj>(?:[^()\\]|\\.)*)\)\s*(?P<showop>Tj|')"  # show / next-line show
+    r"|(?:-?[\d.]+\s+){2}\((?P<quote>(?:[^()\\]|\\.)*)\)\s*\""  # aw ac show
+    r"|\[(?P<tjarr>(?:[^\]\\]|\\.)*)\]\s*TJ"  # array show
 )
 _PDF_STR_RE = re.compile(r"\(((?:[^()\\]|\\.)*)\)")
 _PDF_ESCAPES = {"n": "\n", "r": "\r", "t": "\t", "b": "\b", "f": "\f",
@@ -499,29 +502,43 @@ def extract_pdf(data: bytes) -> dict:
     seq = 0
     for bt in _PDF_BT_RE.finditer(src):
         x = y = 0.0
+        leading = 0.0
         base = bt.start(1)
+
+        def _show(txt: str, s: int, e: int) -> None:
+            nonlocal seq
+            if txt.strip():
+                shows.append((-y, x, seq, txt, base + s, base + e))
+                seq += 1
+
         for op in _PDF_OP_RE.finditer(bt.group(1)):
-            if op.group(1) is not None:
-                x += float(op.group(1))
-                y += float(op.group(2))
-            elif op.group(5) is not None:
-                x, y = float(op.group(4)), float(op.group(5))
-            elif op.group(6) is not None:
-                txt = _pdf_unescape(op.group(6))
-                if txt.strip():
-                    shows.append(
-                        (-y, x, seq, txt, base + op.start(6), base + op.end(6))
-                    )
-                    seq += 1
-            elif op.group(7) is not None:
+            if op.group("tdx") is not None:
+                ty = float(op.group("tdy"))
+                x += float(op.group("tdx"))
+                y += ty
+                if op.group("tdop") == "TD":  # TD also sets leading = -ty
+                    leading = -ty
+            elif op.group("tme") is not None:
+                x, y = float(op.group("tme")), float(op.group("tmf"))
+            elif op.group("tl") is not None:
+                leading = float(op.group("tl"))
+            elif op.group("tstar") is not None:
+                y -= leading
+            elif op.group("tj") is not None:
+                if op.group("showop") == "'":  # ' = T* then show
+                    y -= leading
+                _show(_pdf_unescape(op.group("tj")), op.start("tj"), op.end("tj"))
+            elif op.group("quote") is not None:  # " = aw ac T* show
+                y -= leading
+                _show(
+                    _pdf_unescape(op.group("quote")),
+                    op.start("quote"),
+                    op.end("quote"),
+                )
+            elif op.group("tjarr") is not None:
                 parts = [_pdf_unescape(m.group(1)) for m in
-                         _PDF_STR_RE.finditer(op.group(7))]
-                txt = "".join(parts)
-                if txt.strip():
-                    shows.append(
-                        (-y, x, seq, txt, base + op.start(7), base + op.end(7))
-                    )
-                    seq += 1
+                         _PDF_STR_RE.finditer(op.group("tjarr"))]
+                _show("".join(parts), op.start("tjarr"), op.end("tjarr"))
     if not shows:
         return _failed("pdf_no_text")
     shows.sort(key=lambda t: (t[0], t[1], t[2]))

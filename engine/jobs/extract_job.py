@@ -256,6 +256,25 @@ def read_current_extracted(spark: SparkSession, manifest: RunManifest) -> DataFr
     )
 
 
+def rollup_hosts(spark: SparkSession, manifest: RunManifest) -> DataFrame:
+    """Host-level quality rollup over the extraction output: grouping sets
+    (host), (host, status) — the dashboard's per-batch quality view recast
+    (SURVEY.md §3.3 'metrics by (run),(run,host),(run,host,lang)').
+    `parse_url` derives host from url JVM-side; one shuffle on the
+    grouping keys."""
+    out = read_extracted(spark, manifest)
+    return (
+        out.withColumn("host", F.parse_url("url", F.lit("HOST")))
+        .rollup("host", "status")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(F.coalesce(F.col("n_chars"), F.lit(0))).alias("chars"),
+            F.round(F.avg("boiler_ratio"), 4).alias("avg_boiler"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+        )
+    )
+
+
 def rollup_metrics(spark: SparkSession, manifest: RunManifest) -> DataFrame:
     """upload/rollup analog (Q7, emop/lib/emop_upload.py [U]): per-run and
     per-partition aggregates via ROLLUP, plus derived throughput columns."""

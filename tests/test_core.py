@@ -178,3 +178,14 @@ def test_synth_gen_doc_deterministic_and_extractable(i):
     assert rows1 == rows2
     rec = extract_document(rows1[0]["html"])
     assert rec["status"] in ("ok", "failed")
+
+
+def test_pdf_leading_operators():
+    # TL + T* + ' and " next-line shows; TD sets leading
+    pdf = (b"%PDF-1.4\nBT 20 TL 1 0 0 1 72 760 Tm (one) Tj "
+           b"T* (two) Tj (three) ' ET")
+    rec = extract_pdf(pdf)
+    assert rec["text"] == "one\ntwo\nthree"
+    pdf2 = b"%PDF-1.4\nBT 1 0 0 1 72 700 Td 0 -20 TD (a) Tj T* (b) Tj 3 2 (c) \" ET"
+    rec2 = extract_pdf(pdf2)
+    assert rec2["text"] == "a\nb\nc"

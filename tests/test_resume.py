@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from engine.jobs.extract_job import (
     enqueue,
+    rollup_hosts,
     plan_partitions,
     read_current_extracted,
     read_extracted,
@@ -107,3 +108,15 @@ def test_rollup_metrics(spark, pages, tmp_path):
     assert len(grand) == 1 and len(per_run) == 1 and len(per_part) == 8
     assert grand[0]["docs"] == pages.count()
     assert per_run[0]["docs_per_sec"] is not None and per_run[0]["docs_per_sec"] > 0
+
+
+def test_rollup_hosts(spark, pages, tmp_path):
+    root = str(tmp_path / "runs")
+    man = enqueue(spark, pages, root, min_partitions=8, run_id="hosts-test")
+    run_extract_job(spark, pages, man, wave_size=8)
+    rows = rollup_hosts(spark, man).collect()
+    grand = [r for r in rows if r["host"] is None and r["status"] is None]
+    per_host = [r for r in rows if r["host"] is not None and r["status"] is None]
+    assert len(grand) == 1 and grand[0]["docs"] == pages.count()
+    assert len(per_host) >= 10  # zipf host spread
+    assert all(r["host"].endswith(".example.org") for r in per_host)
