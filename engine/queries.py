@@ -464,6 +464,63 @@ def _sql_array_funcs():
     """
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join without a native operator (SURVEY.md §3.3 row): for each
+    order, the latest event of its (synthetic) user at or before the order
+    date. Implemented the scale-safe way — union both sides with a kind tag,
+    ONE shuffle on (user, ts), then last(event_id, ignorenulls) over the
+    ordered window. No range-join row blowup: cost is O(n log n) per user,
+    not O(events x orders). The naive inequality-join alternative degrades
+    to a broadcast-nested-loop at scale."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("uid"),
+        "ts",
+        "event_id",
+        F.lit(None).cast("long").alias("o_orderkey"),
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.pmod(F.col("o_custkey"), F.lit(150)).cast("long").alias("uid"),
+        F.col("o_orderdate").alias("ts"),
+        F.lit(None).cast("long").alias("event_id"),
+        "o_orderkey",
+    )
+    unioned = ev.unionByName(orders).withColumn(
+        # deterministic total order: events sort before orders at equal ts;
+        # among equal-ts events the highest event_id wins the as-of
+        "kind", F.when(F.col("event_id").isNotNull(), 0).otherwise(1)
+    )
+    w = (
+        W.partitionBy("uid")
+        .orderBy("ts", "kind", F.coalesce("event_id", F.lit(1 << 62)))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        unioned.withColumn(
+            "asof_event", F.last("event_id", ignorenulls=True).over(w)
+        )
+        .where(F.col("o_orderkey").isNotNull())
+        .select("o_orderkey", F.col("uid").alias("user_id"), "asof_event")
+    )
+
+
+def _sql_asof_join():
+    return """
+    WITH u AS (
+      SELECT user_id AS uid, ts, event_id, CAST(NULL AS BIGINT) AS o_orderkey,
+             0 AS kind FROM events
+      UNION ALL
+      SELECT CAST(o_custkey % 150 AS BIGINT), o_orderdate,
+             CAST(NULL AS BIGINT), o_orderkey, 1 AS kind FROM orders
+    )
+    SELECT o_orderkey, uid AS user_id,
+           last_value(event_id IGNORE NULLS) OVER (
+             PARTITION BY uid
+             ORDER BY ts, kind, COALESCE(event_id, 4611686018427387904)
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_event
+    FROM u QUALIFY o_orderkey IS NOT NULL
+    """
+
+
 def q_pivot_events(spark, sf_dir):
     """Pivot: per-user event-type counts as columns (static value list so
     the plan is a single pass — dynamic pivot would need an extra distinct
@@ -1073,6 +1130,7 @@ _reg("string_funcs", q_string_funcs, _sql_string_funcs())
 _reg("date_funcs", q_date_funcs, _sql_date_funcs())
 _reg("json_funcs", q_json_funcs, _sql_json_funcs())
 _reg("array_funcs", q_array_funcs, _sql_array_funcs())
+_reg("asof_join", q_asof_join, _sql_asof_join())
 _reg("pivot_events", q_pivot_events, _sql_pivot_events())
 _reg("correlated_above_avg", q_correlated_above_avg, _sql_correlated_above_avg())
 _reg("approx_distinct", q_approx_distinct, None)
