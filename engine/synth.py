@@ -119,11 +119,12 @@ def _sidebar(rng: random.Random) -> str:
     return f'<aside class="sidebar related"><h3>Related</h3><ul>{links}</ul></aside>'
 
 
-def _html_boilerplate_heavy(rng: random.Random, lang: str, i: int) -> str:
+def _html_boilerplate_heavy(rng: random.Random, lang: str, i: int) -> tuple:
     paras = _paragraphs(rng, lang, rng.randint(3, 8))
     body = "".join(f"<p>{p}</p>" for p in paras)
     title = f"Document {i} — a study in type"
-    return (
+    expected = " ".join([title] + paras)
+    return expected, (
         f'<!DOCTYPE html><html lang="{lang}"><head><title>{title}</title>'
         f'<meta charset="utf-8"><style>body{{margin:0}}</style>'
         f"<script>var x=1;</script></head><body>"
@@ -135,10 +136,10 @@ def _html_boilerplate_heavy(rng: random.Random, lang: str, i: int) -> str:
     )
 
 
-def _html_plain_minimal(rng: random.Random, lang: str, i: int) -> str:
+def _html_plain_minimal(rng: random.Random, lang: str, i: int) -> tuple:
     paras = _paragraphs(rng, lang, rng.randint(2, 4))
     body = "".join(f"<p>{p}</p>" for p in paras)
-    return f"<html><body>{body}</body></html>"
+    return " ".join(paras), f"<html><body>{body}</body></html>"
 
 
 def _html_link_farm(rng: random.Random, lang: str, i: int) -> str:
@@ -146,29 +147,31 @@ def _html_link_farm(rng: random.Random, lang: str, i: int) -> str:
         f'<p><a href="/x/{rng.randrange(99999)}">Link number {j} click here now</a></p>'
         for j in range(rng.randint(20, 40))
     )
-    return (
+    return "", (
         f"<html><head><title>Links {i}</title></head><body>"
         f'<div class="links">{links}</div>{_FOOTER}</body></html>'
     )
 
 
-def _html_tables_lists(rng: random.Random, lang: str, i: int) -> str:
+def _html_tables_lists(rng: random.Random, lang: str, i: int) -> tuple:
     pool = _SENTENCES[lang]
-    rows = "".join(
-        f"<tr><td>Entry {j}</td><td>{pool[rng.randrange(len(pool))]}</td></tr>"
-        for j in range(rng.randint(4, 8))
-    )
-    items = "".join(
-        f"<li>{pool[rng.randrange(len(pool))]}</li>" for _ in range(rng.randint(3, 6))
-    )
-    return (
+    cells = []
+    rows = ""
+    for j in range(rng.randint(4, 8)):
+        s = pool[rng.randrange(len(pool))]
+        cells.append(f"Entry {j} {s}")
+        rows += f"<tr><td>Entry {j}</td><td>{s}</td></tr>"
+    lis = [pool[rng.randrange(len(pool))] for _ in range(rng.randint(3, 6))]
+    items = "".join(f"<li>{s}</li>" for s in lis)
+    expected = " ".join([f"Register {i}"] + cells + lis)
+    return expected, (
         f"<html><body>{_nav(rng)}"
         f'<div class="content"><h2>Register {i}</h2>'
         f"<table>{rows}</table><ul>{items}</ul></div>{_FOOTER}</body></html>"
     )
 
 
-def _html_malformed(rng: random.Random, lang: str, i: int) -> str:
+def _html_malformed(rng: random.Random, lang: str, i: int) -> tuple:
     paras = _paragraphs(rng, lang, 3)
     doc = (
         f'<html><head><meta charset="iso-8859-1"><body>'
@@ -177,7 +180,7 @@ def _html_malformed(rng: random.Random, lang: str, i: int) -> str:
     )
     if rng.random() < 0.5:
         doc = doc[: max(40, int(len(doc) * rng.uniform(0.5, 0.9)))]  # truncate
-    return doc
+    return None, doc  # truncation makes expected text undefined
 
 
 def make_pdf(rng: random.Random, lang: str, i: int) -> bytes:
@@ -218,17 +221,26 @@ def _junk(rng: random.Random) -> bytes:
 
 def gen_doc(i: int, seed: int = SEED) -> list[dict]:
     """All rows for doc index i (1 row, or 2 when the url is re-crawled)."""
+    return gen_doc_with_expected(i, seed)[0]
+
+
+def gen_doc_with_expected(i: int, seed: int = SEED) -> tuple:
+    """(rows, expected_main_text) — expected is the ground-truth article
+    text for evaluable HTML classes (None for pdf/junk/malformed), drawn
+    from the SAME rng stream, enabling word-level precision/recall
+    evaluation of the boilerplate classifier (tests/test_quality_eval.py)."""
     rng = random.Random(seed * _K + i)
     host_rank = bisect_left(_ZIPF_CDF, rng.random()) + 1
     host = f"host{host_rank:04d}.example.org"
     lang = _LANGS[bisect_left(_LANG_CDF, rng.random())]
     u = rng.random()
+    expected = None
     if u < 0.01:
-        cls, payload = "pdf_text", make_pdf(rng, lang, i)
+        payload = make_pdf(rng, lang, i)
         url = f"https://{host}/p/{i:08d}.pdf"
     else:
         if u < 0.03:
-            html = _html_malformed(rng, lang, i)
+            expected, html = _html_malformed(rng, lang, i)
         elif u < 0.04:
             cls_bytes = _junk(rng)
             ts = _EPOCH + dt.timedelta(seconds=i * 37)
@@ -240,15 +252,15 @@ def gen_doc(i: int, seed: int = SEED) -> list[dict]:
                     "text": "",
                     "lang": lang,
                 }
-            ]
+            ], None
         elif u < 0.09:
-            html = _html_link_farm(rng, lang, i)
+            expected, html = _html_link_farm(rng, lang, i)
         elif u < 0.14:
-            html = _html_tables_lists(rng, lang, i)
+            expected, html = _html_tables_lists(rng, lang, i)
         elif u < 0.24:
-            html = _html_plain_minimal(rng, lang, i)
+            expected, html = _html_plain_minimal(rng, lang, i)
         else:
-            html = _html_boilerplate_heavy(rng, lang, i)
+            expected, html = _html_boilerplate_heavy(rng, lang, i)
         payload = html.encode("utf-8")
         url = f"https://{host}/p/{i:08d}.html"
     ts = _EPOCH + dt.timedelta(seconds=i * 37)
@@ -265,7 +277,7 @@ def gen_doc(i: int, seed: int = SEED) -> list[dict]:
                 "lang": lang,
             }
         )
-    return rows
+    return rows, expected
 
 
 def generate_pages(spark, n_docs: int, seed: int = SEED, partitions: int | None = None):
