@@ -73,41 +73,17 @@ _HEAD_ONLY_TAGS = frozenset(
     "title meta link base style script noscript template".split()
 )
 
-_ENTITIES = {
-    "amp": "&",
-    "lt": "<",
-    "gt": ">",
-    "quot": '"',
-    "apos": "'",
-    "nbsp": " ",
-    "mdash": "—",
-    "ndash": "–",
-    "hellip": "…",
-    "copy": "©",
-    "raquo": "»",
-    "laquo": "«",
-}
-_ENTITY_RE = re.compile(r"&(#x?[0-9a-fA-F]{1,7}|[a-zA-Z][a-zA-Z0-9]{1,31});")
+import html as _html_std
 
 
 def _unescape(text: str) -> str:
-    """Deterministic entity decode; unknown entities pass through verbatim."""
+    """Deterministic entity decode via the stdlib HTML5 table (complete
+    named-entity coverage, tolerant of missing semicolons); '&'-free text
+    short-circuits. Unknown entities pass through verbatim (html.unescape
+    semantics)."""
     if "&" not in text:
         return text
-
-    def sub(m: re.Match) -> str:
-        body = m.group(1)
-        if body.startswith("#"):
-            try:
-                cp = int(body[2:], 16) if body[1:2] in ("x", "X") else int(body[1:])
-            except ValueError:
-                return m.group(0)
-            if 0 < cp <= 0x10FFFF and not (0xD800 <= cp <= 0xDFFF):
-                return chr(cp)
-            return m.group(0)
-        return _ENTITIES.get(body.lower(), m.group(0))
-
-    return _ENTITY_RE.sub(sub, text)
+    return _html_std.unescape(text)
 
 
 _WS_RE = re.compile(r"\s+")

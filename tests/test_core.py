@@ -69,9 +69,12 @@ def test_tokenizer_stray_lt_is_text():
 
 
 def test_entities():
+    # stdlib HTML5 semantics: full named table, nbsp -> U+00A0 (whitespace
+    # for word splitting), unknown entities verbatim
     assert _unescape("a &amp; b &lt;c&gt; &#65; &#x41; &unknown; &nbsp;x") == (
-        "a & b <c> A A &unknown;  x"
+        "a & b <c> A A &unknown; \xa0x"
     )
+    assert _unescape("&mdash;&hellip;&copy;") == "\u2014\u2026\u00a9"
 
 
 # ----------------------------------------------------------------- classifier
@@ -189,3 +192,10 @@ def test_pdf_leading_operators():
     pdf2 = b"%PDF-1.4\nBT 1 0 0 1 72 700 Td 0 -20 TD (a) Tj T* (b) Tj 3 2 (c) \" ET"
     rec2 = extract_pdf(pdf2)
     assert rec2["text"] == "a\nb\nc"
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=1024))
+def test_pdf_branch_never_raises(data):
+    rec = extract_document(b"%PDF-" + data)
+    assert rec["status"] in ("ok", "failed")
