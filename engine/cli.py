@@ -7,6 +7,7 @@ Verbs map 1:1 to the reference controller's:
   run      → process pending partitions in committed waves  (emop_run    [U])
   retry    → re-extract failed urls (MERGE-emulated)        (retry semantics)
   rollup   → per-run/partition metrics rollup               (emop_upload [U])
+  export   → publish a completed run to a destination path   (emop_transfer [U])
   synth    → write a deterministic pages corpus (test/bench input)
 
 Deployment shape per BASELINE.json:14: zip the package and submit —
@@ -72,12 +73,19 @@ def main(argv: list[str] | None = None) -> int:
     up.add_argument("--runs-root", required=True)
     up.add_argument("--run-id", required=True)
 
+    xp = sub.add_parser("export")
+    xp.add_argument("--runs-root", required=True)
+    xp.add_argument("--run-id", required=True)
+    xp.add_argument("--dest", required=True)
+    xp.add_argument("--format", default="parquet", choices=["parquet", "json"])
+
     a = p.parse_args(argv)
     spark = _spark()
     spark.sparkContext.setLogLevel("WARN")
 
     from engine.jobs.extract_job import (
         enqueue,
+        export_run,
         retry_failed,
         rollup_metrics,
         run_extract_job,
@@ -133,6 +141,9 @@ def main(argv: list[str] | None = None) -> int:
         pages = spark.read.parquet(a.pages)
         m = RunManifest.load(a.runs_root, a.run_id)
         print(json.dumps(retry_failed(spark, pages, m)))
+    elif a.verb == "export":
+        m = RunManifest.load(a.runs_root, a.run_id)
+        print(json.dumps(export_run(spark, m, a.dest, fmt=a.format)))
     elif a.verb == "rollup":
         m = RunManifest.load(a.runs_root, a.run_id)
         rows = rollup_metrics(spark, m).collect()

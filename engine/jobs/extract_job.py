@@ -256,6 +256,33 @@ def read_current_extracted(spark: SparkSession, manifest: RunManifest) -> DataFr
     )
 
 
+def export_run(
+    spark: SparkSession,
+    manifest: RunManifest,
+    dest: str,
+    fmt: str = "parquet",
+) -> dict:
+    """Q8 transfer analog (emop/lib/emop_transfer.py [U] — Globus stage-out
+    between storages): publish a run's CURRENT extracted view (latest
+    attempt per url) to a destination warehouse path, CTAS-style. Refuses
+    incomplete runs — the reference only uploads completed payloads."""
+    if not manifest.is_complete():
+        raise RuntimeError(
+            f"run {manifest.run_id} has "
+            f"{len(manifest.pending_partitions())} pending partitions"
+        )
+    cur = read_current_extracted(spark, manifest)
+    writer = cur.write.mode("overwrite")
+    if fmt == "parquet":
+        writer.parquet(dest)
+    elif fmt == "json":
+        cur.drop("spans").write.mode("overwrite").json(dest)
+    else:
+        raise ValueError(f"unsupported export format: {fmt}")
+    n = spark.read.format(fmt).load(dest).count()
+    return {"run_id": manifest.run_id, "dest": dest, "format": fmt, "rows": n}
+
+
 def rollup_hosts(spark: SparkSession, manifest: RunManifest) -> DataFrame:
     """Host-level quality rollup over the extraction output: grouping sets
     (host), (host, status) — the dashboard's per-batch quality view recast

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from engine.jobs.extract_job import (
     enqueue,
+    export_run,
     rollup_hosts,
     plan_partitions,
     read_current_extracted,
@@ -120,3 +121,15 @@ def test_rollup_hosts(spark, pages, tmp_path):
     assert len(grand) == 1 and grand[0]["docs"] == pages.count()
     assert len(per_host) >= 10  # zipf host spread
     assert all(r["host"].endswith(".example.org") for r in per_host)
+
+
+def test_export_completed_run_only(spark, pages, tmp_path):
+    root = str(tmp_path / "runs")
+    man = enqueue(spark, pages, root, min_partitions=8, run_id="export-test")
+    run_extract_job(spark, pages, man, wave_size=4, max_waves=1)
+    with pytest.raises(RuntimeError):
+        export_run(spark, man, str(tmp_path / "never"))
+    run_extract_job(spark, pages, man, wave_size=8)
+    res = export_run(spark, man, str(tmp_path / "out"))
+    # current view: one row per url
+    assert res["rows"] == pages.select("url").distinct().count()
