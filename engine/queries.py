@@ -718,6 +718,61 @@ def _sql_ann_cosine_topk():
     """
 
 
+def q_embedding_neardup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (the 5th dedup class):
+    all (a,b) with cosine ≥ 0.30 (threshold chosen so the random testdata yields a non-vacuous pair set). Brute-force self-join at oracle scale;
+    the 10^9-vector path reuses the sign-LSH bucketing of
+    q_ann_lsh_bucketed as the candidate filter before this exact kernel.
+    Norms are precomputed per side (projection before the join), so the
+    join condition touches only a dot product."""
+    e = _t(spark, sf_dir, "embeddings")
+    norm2 = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    v = e.select("vec_id", "embedding", F.sqrt(norm2).alias("nrm"))
+    a = v.alias("a")
+    b = v.alias("b")
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("a.embedding"),
+            F.col("b.embedding"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sim = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(sim, 4).alias("sim"),
+        )
+        .where(F.col("sim") >= 0.30)
+    )
+
+
+def _sql_embedding_neardup_pairs():
+    return """
+    WITH v AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                 / (a.nrm * b.nrm), 4) AS sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+              / (a.nrm * b.nrm), 4) >= 0.30
+    """
+
+
 _LSH_BITS = 4
 _EMB_DIM = 64
 
@@ -1139,6 +1194,11 @@ _reg("math_funcs", q_math_funcs, _sql_math_funcs())
 _reg("dedup_exact", q_dedup_exact, _sql_dedup_exact())
 _reg("ann_cosine_topk", q_ann_cosine_topk, _sql_ann_cosine_topk())
 _reg("ann_lsh_bucketed", q_ann_lsh_bucketed, None)
+_reg(
+    "embedding_neardup_pairs",
+    q_embedding_neardup_pairs,
+    _sql_embedding_neardup_pairs(),
+)
 _reg("lang_id_heuristic", q_lang_id_heuristic, _sql_lang_id_heuristic())
 _reg("quality_score", q_quality_score, _sql_quality_score())
 _reg("token_count", q_token_count, _sql_token_count())
