@@ -649,6 +649,43 @@ def _sql_math_funcs():
 # =========================================================================
 
 
+def q_training_set_selection(spark, sf_dir):
+    """The composed training-data pipeline in one plan: language filter →
+    quality gates (length + uniqueness ratio) → exact dedup (keep lowest
+    doc_id per text) → selection. Demonstrates that the individual
+    operators compose without materialization barriers: Catalyst fuses the
+    filters into the scan and the dedup is the only shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_toks = F.size(toks)
+    uniq_ratio = F.when(
+        n_toks > 0, F.size(F.array_distinct(toks)).cast("double") / n_toks
+    ).otherwise(0.0)
+    gated = d.where(
+        (F.col("lang") == "en") & (n_toks >= 20) & (uniq_ratio >= 0.3)
+    )
+    return (
+        gated.groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+        .select("doc_id", "n_copies", F.length("text").alias("n_len"))
+    )
+
+
+def _sql_training_set_selection():
+    return """
+    WITH gated AS (
+      SELECT * FROM documents
+      WHERE lang = 'en'
+        AND len(string_split(text, ' ')) >= 20
+        AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              / len(string_split(text, ' ')) >= 0.3
+    )
+    SELECT min(doc_id) AS doc_id, count(*) AS n_copies,
+           length(text) AS n_len
+    FROM gated GROUP BY text
+    """
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup: hash-groupBy on content, keep min doc_id as canonical.
     At 100 TB: group by sha2(text) instead of text to bound shuffle width;
@@ -1192,6 +1229,11 @@ _reg("approx_distinct", q_approx_distinct, None)
 _reg("time_window_agg", q_time_window_agg, _sql_time_window_agg())
 _reg("math_funcs", q_math_funcs, _sql_math_funcs())
 _reg("dedup_exact", q_dedup_exact, _sql_dedup_exact())
+_reg(
+    "training_set_selection",
+    q_training_set_selection,
+    _sql_training_set_selection(),
+)
 _reg("ann_cosine_topk", q_ann_cosine_topk, _sql_ann_cosine_topk())
 _reg("ann_lsh_bucketed", q_ann_lsh_bucketed, None)
 _reg(
