@@ -62,6 +62,31 @@ def with_partition_id(pages: DataFrame, n_partitions: int) -> DataFrame:
     )
 
 
+N_HOST_SALT = 16
+
+
+def with_host_salted_partition_id(
+    pages: DataFrame, n_partitions: int, n_salt: int = N_HOST_SALT
+) -> DataFrame:
+    """Host-grouped layout WITH explicit hot-host salting (BASELINE.json:6).
+
+    Use when per-host locality matters (politeness/rate limits, per-site
+    models): the partition key is hash(host, salt) where
+    salt = pmod(hash(url), n_salt) — a hot host (Zipf head) spreads across
+    exactly n_salt partitions instead of melting one reducer, while a cold
+    host still lands in at most n_salt partitions (usually fewer rows than
+    one batch anyway). The default extract layout (with_partition_id) hashes
+    the full url, which spreads hosts maximally; this variant is the
+    explicit middle ground. tests/test_resume.py::test_host_salting_spreads
+    pins the spread behaviour."""
+    host = F.parse_url("url", F.lit("HOST"))
+    salt = F.pmod(F.hash("url"), F.lit(n_salt))
+    return pages.withColumn(
+        "partition_id",
+        F.pmod(F.hash(host, salt), F.lit(n_partitions)).cast("int"),
+    )
+
+
 def enqueue(
     spark: SparkSession,
     pages: DataFrame,

@@ -11,6 +11,7 @@ from engine.jobs.extract_job import (
     enqueue,
     export_run,
     rollup_hosts,
+    with_host_salted_partition_id,
     plan_partitions,
     read_current_extracted,
     read_extracted,
@@ -133,3 +134,32 @@ def test_export_completed_run_only(spark, pages, tmp_path):
     res = export_run(spark, man, str(tmp_path / "out"))
     # current view: one row per url
     assert res["rows"] == pages.select("url").distinct().count()
+
+
+def test_host_salting_spreads_hot_hosts(spark, pages):
+    """The Zipf-head host must spread across >1 partition under the salted
+    layout, and across <= n_salt partitions (bounded skew)."""
+    n_parts, n_salt = 32, 8
+    keyed = with_host_salted_partition_id(pages, n_parts, n_salt=n_salt)
+    hot = (
+        keyed.withColumn("host", F.parse_url("url", F.lit("HOST")))
+        .groupBy("host")
+        .agg(F.count("*").alias("n"), F.countDistinct("partition_id").alias("p"))
+        .orderBy(F.desc("n"))
+        .limit(1)
+        .collect()[0]
+    )
+    assert hot["n"] > 20  # zipf head is actually hot in this corpus
+    assert 1 < hot["p"] <= n_salt
+    # unsalted-by-host layout would put every row of the host in ONE part
+    unsalted = (
+        pages.withColumn(
+            "partition_id",
+            F.pmod(F.hash(F.parse_url("url", F.lit("HOST"))), F.lit(n_parts)),
+        )
+        .where(F.parse_url("url", F.lit("HOST")) == hot["host"])
+        .select("partition_id")
+        .distinct()
+        .count()
+    )
+    assert unsalted == 1
