@@ -77,6 +77,10 @@ HEADLINE = [
     "minhash_signatures",
     "simhash_fingerprint",
     "ann_cosine_topk",
+    "embedding_neardup_pairs",
+    "asof_join",
+    "pivot_events",
+    "training_set_selection",
     "token_count",
     "lang_id_heuristic",
 ]
