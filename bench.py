@@ -78,6 +78,7 @@ HEADLINE = [
     "simhash_fingerprint",
     "ann_cosine_topk",
     "embedding_neardup_pairs",
+    "embedding_neardup_pairs_fast",
     "asof_join",
     "pivot_events",
     "training_set_selection",

@@ -788,7 +788,7 @@ def q_embedding_neardup_pairs(spark, sf_dir):
             F.col("b.vec_id").alias("vec_b"),
             F.round(sim, 4).alias("sim"),
         )
-        .where(F.col("sim") >= 0.30)
+        .where(F.col("sim") >= NEARDUP_SIM)
     )
 
 
@@ -808,6 +808,55 @@ def _sql_embedding_neardup_pairs():
               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
               / (a.nrm * b.nrm), 4) >= 0.30
     """
+
+
+NEARDUP_SIM = 0.30
+
+
+def q_embedding_neardup_pairs_fast(spark, sf_dir):
+    """Vectorized fast path for the near-dup pair kernel: the full embedding
+    matrix (n x d floats — broadcastable while n*d*4 bytes fits an executor,
+    i.e. up to ~10^7 x 64) ships once per executor; each Arrow batch computes
+    its rows' similarities against the whole matrix with one numpy matmul.
+    ~10-50x the interpreted higher-order-function kernel. Non-oracle: BLAS
+    accumulation order differs from a sequential fold, so the 4-decimal
+    rounding can differ in the last digit — tests/test_ann.py pins pair-set
+    equality with the exact kernel instead. Beyond broadcastable sizes, the
+    sign-LSH buckets (q_ann_lsh_bucketed) shard the matrix first."""
+    import numpy as np
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # the broadcast side is materialized once on the driver by design —
+    # this is the standard small-dim broadcast pattern, bounded by the
+    # broadcastable-size precondition in the docstring
+    data = e.toPandas()
+    ids = data["vec_id"].to_numpy()
+    mat = np.array(data["embedding"].tolist(), dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    def score(batches):
+        import pandas as pd
+
+        b_ids, b_mat = bc.value
+        for pdf in batches:
+            q_ids = pdf["vec_id"].to_numpy()
+            q = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            q = q / np.linalg.norm(q, axis=1, keepdims=True)
+            sims = np.round(q @ b_mat.T, 4)  # (batch, n); round BEFORE the
+            # threshold so boundary semantics match the exact kernel
+            out_a, out_b, out_s = [], [], []
+            for r in range(sims.shape[0]):
+                mask = (sims[r] >= NEARDUP_SIM) & (b_ids > q_ids[r])
+                hit = np.flatnonzero(mask)
+                out_a.extend([int(q_ids[r])] * len(hit))
+                out_b.extend(b_ids[hit].tolist())
+                out_s.extend(sims[r][hit].tolist())
+            yield pd.DataFrame(
+                {"vec_a": out_a, "vec_b": out_b, "sim": out_s},
+            )
+
+    return e.mapInPandas(score, schema="vec_a long, vec_b long, sim double")
 
 
 _LSH_BITS = 4
@@ -1241,6 +1290,7 @@ _reg(
     q_embedding_neardup_pairs,
     _sql_embedding_neardup_pairs(),
 )
+_reg("embedding_neardup_pairs_fast", q_embedding_neardup_pairs_fast, None)
 _reg("lang_id_heuristic", q_lang_id_heuristic, _sql_lang_id_heuristic())
 _reg("quality_score", q_quality_score, _sql_quality_score())
 _reg("token_count", q_token_count, _sql_token_count())

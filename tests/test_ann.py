@@ -6,7 +6,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from engine.queries import q_ann_cosine_topk, q_ann_lsh_bucketed, _t
+from engine.queries import (
+    q_ann_cosine_topk,
+    q_ann_lsh_bucketed,
+    q_embedding_neardup_pairs,
+    q_embedding_neardup_pairs_fast,
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -24,3 +29,9 @@ def test_lsh_ann_sims_exact_and_pruned(spark):
     # covers 5/16 of the space; exact-dup neighbours always share the code)
     recall = len({r["vec_id"] for r in lsh_rows} & set(brute)) / len(brute)
     assert recall >= 0.2
+
+
+def test_fast_neardup_same_pair_set_as_exact(spark):
+    exact = {(r["vec_a"], r["vec_b"]) for r in q_embedding_neardup_pairs(spark, SF).collect()}
+    fast = {(r["vec_a"], r["vec_b"]) for r in q_embedding_neardup_pairs_fast(spark, SF).collect()}
+    assert fast == exact and len(exact) > 0

@@ -27,6 +27,7 @@ def test_all_queries_match_oracle(spark):
         "doc_fingerprint",
         "ann_lsh_bucketed",
         "approx_distinct",
+        "embedding_neardup_pairs_fast",
     }
 
 
