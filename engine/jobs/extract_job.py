@@ -210,7 +210,7 @@ def _extract_with_pid(batches):
 
 
 def read_lineage(spark: SparkSession, manifest: RunManifest) -> DataFrame:
-    waves = sorted(str(p) for p in manifest.lineage_dir.glob("wave-*.parquet"))
+    waves = sorted(str(p) for p in manifest.lineage_dir.glob("*.parquet"))
     if not waves:
         return spark.createDataFrame([], schema=_lineage_ddl())
     return spark.read.parquet(*waves)
@@ -253,11 +253,50 @@ def retry_failed(
     n_failed = todo.count()
     if n_failed == 0:
         return {"retried": 0}
+    t0 = time.monotonic()
     redone = todo.select("url", "html", "partition_id").mapInPandas(
         _extract_with_pid, schema=EXTRACTED_DDL + ", partition_id int"
     )
-    redone.write.mode("append").partitionBy("partition_id").parquet(
-        manifest.extracted_path + "_retry"
+    retry_path = manifest.extracted_path + "_retry"
+    redone.write.mode("append").partitionBy("partition_id").parquet(retry_path)
+    # every stage writes lineage rows (BASELINE.json north_star) — the retry
+    # wave is auditable like any extract wave
+    wall_ms = int((time.monotonic() - t0) * 1000)
+    out = spark.read.parquet(retry_path)
+    lineage = (
+        out.groupBy("partition_id")
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.sum(F.coalesce(F.col("n_chars"), F.lit(0))).alias("byte_count"),
+            F.sha2(
+                F.concat_ws(
+                    "|",
+                    F.sort_array(
+                        F.collect_list(
+                            F.concat_ws(
+                                ":",
+                                F.col("url"),
+                                F.coalesce(F.col("status"), F.lit("")),
+                            )
+                        )
+                    ),
+                ),
+                256,
+            ).alias("checksum"),
+        )
+        .select(
+            F.lit(manifest.run_id).alias("run_id"),
+            F.col("partition_id").cast("int"),
+            F.lit("retry").alias("stage"),
+            F.col("doc_count").cast("long"),
+            F.col("byte_count").cast("long"),
+            F.lit(EXTRACTOR_VERSION).alias("extractor_version"),
+            F.col("checksum"),
+            F.lit(wall_ms).cast("long").alias("wall_ms"),
+        )
+    )
+    lineage.coalesce(1).write.mode("overwrite").parquet(
+        str(manifest.lineage_dir / "retry.parquet")
     )
     return {"retried": n_failed}
 

@@ -97,6 +97,15 @@ def test_retry_failed_and_current_view(spark, pages, tmp_path):
     # junk docs stay failed after retry (deterministic input), but the
     # lifecycle ran; urls that failed still have exactly one current row
     assert cur.where(F.col("status") == "failed").count() <= n_failed
+    # retry wave is auditable: lineage carries stage='retry' rows whose
+    # doc_count covers the retried urls
+    lin = read_lineage(spark, man)
+    retry_docs = (
+        lin.where(F.col("stage") == "retry")
+        .agg(F.sum("doc_count").alias("d"))
+        .collect()[0]["d"]
+    )
+    assert retry_docs == res["retried"]
 
 
 def test_rollup_metrics(spark, pages, tmp_path):
