@@ -224,8 +224,15 @@ def _lineage_ddl() -> str:
 
 
 def read_extracted(spark: SparkSession, manifest: RunManifest) -> DataFrame:
-    """Committed view: only partitions the manifest says are committed."""
+    """Committed view: only partitions the manifest says are committed.
+    A run with no commits yet reads as an empty table, not an error."""
+    import os
+
     committed = manifest.committed_partitions()
+    if not committed or not os.path.exists(manifest.extracted_path):
+        return spark.createDataFrame(
+            [], schema=EXTRACTED_DDL + ", partition_id int"
+        )
     df = spark.read.parquet(manifest.extracted_path)
     return df.where(F.col("partition_id").isin(committed))
 

@@ -172,3 +172,12 @@ def test_host_salting_spreads_hot_hosts(spark, pages):
         .count()
     )
     assert unsalted == 1
+
+
+def test_fresh_run_reads_as_empty(spark, pages, tmp_path):
+    """retry/rollup on a never-run manifest must not crash."""
+    root = str(tmp_path / "runs")
+    man = enqueue(spark, pages, root, min_partitions=8, run_id="fresh-test")
+    assert read_extracted(spark, man).count() == 0
+    assert retry_failed(spark, pages, man) == {"retried": 0}
+    assert read_lineage(spark, man).count() == 0
