@@ -664,10 +664,17 @@ def q_training_set_selection(spark, sf_dir):
     gated = d.where(
         (F.col("lang") == "en") & (n_toks >= 20) & (uniq_ratio >= 0.3)
     )
+    # group by sha2(text), not text: the shuffle key is a fixed-width 64-char
+    # digest instead of the full document — at 100 TB that bounds shuffle
+    # write width to ~70 B/row regardless of document size
     return (
-        gated.groupBy("text")
-        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
-        .select("doc_id", "n_copies", F.length("text").alias("n_len"))
+        gated.groupBy(F.sha2("text", 256).alias("text_sha"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count("*").alias("n_copies"),
+            F.min(F.length("text")).alias("n_len"),
+        )
+        .select("doc_id", "n_copies", "n_len")
     )
 
 
@@ -681,17 +688,20 @@ def _sql_training_set_selection():
               / len(string_split(text, ' ')) >= 0.3
     )
     SELECT min(doc_id) AS doc_id, count(*) AS n_copies,
-           length(text) AS n_len
-    FROM gated GROUP BY text
+           min(length(text)) AS n_len
+    FROM gated GROUP BY sha256(text)
     """
 
 
 def q_dedup_exact(spark, sf_dir):
-    """Exact dedup: hash-groupBy on content, keep min doc_id as canonical.
-    At 100 TB: group by sha2(text) instead of text to bound shuffle width;
-    here text itself keeps the oracle trivial."""
+    """Exact dedup: hash-groupBy on sha2(text), keep min doc_id as
+    canonical. Grouping by the 256-bit digest instead of raw text bounds
+    the shuffle key to 64 chars per row no matter how large the document —
+    THE difference between a dedup that works at 100 TB and one that ships
+    the whole corpus through the shuffle. Oracle groups by DuckDB's
+    sha256(text) — same digest, same groups."""
     d = _t(spark, sf_dir, "documents")
-    return d.groupBy("text").agg(
+    return d.groupBy(F.sha2("text", 256).alias("text_sha")).agg(
         F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies")
     ).select("keeper", "n_copies")
 
@@ -699,7 +709,7 @@ def q_dedup_exact(spark, sf_dir):
 def _sql_dedup_exact():
     return """
     SELECT min(doc_id) AS keeper, count(*) AS n_copies
-    FROM documents GROUP BY text
+    FROM documents GROUP BY sha256(text)
     """
 
 
@@ -1037,11 +1047,15 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
                     F.sequence(
                         F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0))
                     ),
+                    # try_element_at: out-of-range → NULL (matches DuckDB's
+                    # t[i] semantics) instead of ANSI INVALID_ARRAY_INDEX on
+                    # sub-3-token documents; concat_ws skips NULLs in both
+                    # engines, so partial shingles agree with the oracle
                     lambda i: F.concat_ws(
                         " ",
-                        F.element_at(toks, i + 1),
-                        F.element_at(toks, i + 2),
-                        F.element_at(toks, i + 3),
+                        F.try_element_at(toks, i + 1),
+                        F.try_element_at(toks, i + 2),
+                        F.try_element_at(toks, i + 3),
                     ),
                 )
             )
@@ -1102,12 +1116,13 @@ N_MINHASH = 16
 LSH_BANDS = 4  # 4 bands x 4 rows
 
 
-def q_minhash_signatures(spark, sf_dir):
+def _minhash_sig_df(spark, sf_dir):
     """MinHash signatures fully JVM-side: per permutation k, the signature
     is min over shingles of xxhash64(shingle, k) — higher-order functions
-    only, no Python in the loop. Non-oracle (hash function is
-    engine-specific); correctness is pinned by tests/test_dedup.py against
-    a pure-Python reimplementation of the same xxhash-free brute force.
+    only, no Python in the loop. Returns the array<long> signature column
+    for internal composition (LSH banding); the REGISTERED query
+    q_minhash_signatures projects it to scalar rows because the driver's
+    pandas canonicalizer cannot hash list cells (round-1 red row).
     Scale: O(docs x shingles) map-side, no shuffle at all."""
     d = _t_spread(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
@@ -1141,13 +1156,25 @@ def q_minhash_signatures(spark, sf_dir):
     )
 
 
+def q_minhash_signatures(spark, sf_dir):
+    """Driver-facing MinHash query: the 16-element signature exploded to
+    (doc_id, k, sig_k) scalar rows — same information, but every output
+    column is scalar-typed so the correctness harness can canonicalize it
+    (tests/test_queries_oracle.py::test_all_query_schemas_scalar pins the
+    registry-wide no-array/map/struct rule). Non-oracle (engine hash);
+    MinHash ≈ Jaccard is pinned in tests/test_dedup.py."""
+    return _minhash_sig_df(spark, sf_dir).select(
+        "doc_id", F.posexplode("minhash").alias("k", "sig_k")
+    )
+
+
 def q_lsh_bucket_candidates(spark, sf_dir):
     """MinHash-LSH near-dup candidates: band the signature (4 bands x 4
     rows), hash each band, groupBy (band_idx, band_hash) → docs sharing any
     band bucket are candidate pairs. The only shuffle is on band hashes —
     the scale path for near-dedup at 10^12 docs. Non-oracle (engine hash);
     verified in tests against exact Jaccard."""
-    sigs = q_minhash_signatures(spark, sf_dir)
+    sigs = _minhash_sig_df(spark, sf_dir)
     rows_per_band = N_MINHASH // LSH_BANDS
     banded = sigs.select(
         "doc_id",
@@ -1198,26 +1225,38 @@ def q_simhash_fingerprint(spark, sf_dir):
     d = _t_spread(spark, sf_dir, "documents")
     toks = F.array_distinct(F.split(F.col("text"), " "))
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    # 64 statically-unrolled bit positions (shiftright needs a literal int);
-    # bit 63 maps to long-min in two's complement.
-    def _bit_vote(i: int):
-        # factory, not a default-arg lambda: pyspark derives the lambda-var
-        # count from the function signature, so it must be exactly (acc, x)
-        def fold(a, h):
-            return a + F.when(
-                F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-            ).otherwise(F.lit(-1))
-
-        return fold
-
-    terms = []
-    for i in range(64):
-        vote = F.aggregate(hashes, F.lit(0), _bit_vote(i))
-        weight = F.lit(-(1 << 63) if i == 63 else (1 << i)).cast("long")
-        terms.append(F.when(vote > 0, weight).otherwise(F.lit(0).cast("long")))
-    simhash = terms[0]
-    for t in terms[1:]:
-        simhash = simhash + t
+    # single fold over the token hashes: the accumulator is the 64-element
+    # vote vector, each step adds ±1 per bit via getbit (column-typed bit
+    # index → no static unrolling, one pass over the array instead of 64)
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda i: F.getbit(h, i),
+            ),
+            lambda a, b: a + (b * 2 - 1),
+        ),
+    )
+    # assemble: one more zip_with against the bit weights (bit 63 = long-min
+    # in two's complement), then a sequential sum fold
+    weights = F.array(
+        *[
+            F.lit(-(1 << 63) if i == 63 else (1 << i)).cast("long")
+            for i in range(64)
+        ]
+    )
+    simhash = F.aggregate(
+        F.zip_with(
+            votes,
+            weights,
+            lambda v, w: F.when(v > 0, w).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     return d.select("doc_id", simhash.alias("simhash"))
 
 

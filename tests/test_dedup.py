@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from engine.queries import (
     N_MINHASH,
+    _minhash_sig_df,
     q_lsh_bucket_candidates,
     q_minhash_signatures,
     q_ngram_jaccard_pairs,
@@ -33,7 +34,7 @@ def docs(spark):
 
 
 def test_minhash_estimates_jaccard(spark, docs):
-    sigs = {r["doc_id"]: r["minhash"] for r in q_minhash_signatures(spark, SF).collect()}
+    sigs = {r["doc_id"]: r["minhash"] for r in _minhash_sig_df(spark, SF).collect()}
     assert all(len(s) == N_MINHASH for s in sigs.values())
     ids = sorted(docs)[:30]
     errs = []
@@ -98,6 +99,21 @@ def test_simhash_locality(spark, docs):
     low_j = sum(h for _, h in scored[:k]) / k
     high_j = sum(h for _, h in scored[-k:]) / k
     assert high_j < low_j
+
+
+def test_minhash_query_matches_internal_signatures(spark):
+    """The registered scalar query is the exploded view of the internal
+    array signature — same (doc_id, k) → sig_k mapping, nothing lost."""
+    arr = {
+        (r["doc_id"], k): v
+        for r in _minhash_sig_df(spark, SF).collect()
+        for k, v in enumerate(r["minhash"])
+    }
+    flat = {
+        (r["doc_id"], r["k"]): r["sig_k"]
+        for r in q_minhash_signatures(spark, SF).collect()
+    }
+    assert arr == flat and len(flat) > 0
 
 
 def test_fingerprint_deterministic(spark):

@@ -31,6 +31,59 @@ def test_all_queries_match_oracle(spark):
     }
 
 
+def test_all_query_schemas_scalar(spark):
+    """Driver-canonicalizability invariant: every registered query returns
+    ONLY scalar-typed columns. The driver's pandas canonicalizer sorts on
+    every column; an array/map/struct cell is unhashable and reds the row
+    (round-1 minhash_signatures failure)."""
+    from engine.queries import queries
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = []
+    for name, fn in queries().items():
+        for fld in fn(spark, SF_DIR).schema.fields:
+            if isinstance(fld.dataType, (ArrayType, MapType, StructType)):
+                offenders.append((name, fld.name, str(fld.dataType)))
+    assert not offenders, offenders
+
+
+def test_ngram_jaccard_survives_short_docs(spark, tmp_path):
+    """ANSI-mode guard: documents with <3 whitespace tokens must not crash
+    the shingle builder (Spark 4 element_at throws INVALID_ARRAY_INDEX;
+    try_element_at returns NULL like DuckDB's t[i]) — and the pair set must
+    still match the oracle on the same short-doc table."""
+    import duckdb
+
+    from engine.queries import q_ngram_jaccard_pairs, _ORACLE
+    from tests.oracle_harness import frame_fingerprint
+
+    rows = [
+        (0, "one", "en", "src0", 3),
+        (1, "two words", "en", "src0", 9),
+        (2, "exactly three tokens", "en", "src0", 20),
+        (3, "a common shared phrase of many tokens here", "en", "src0", 43),
+        (4, "a common shared phrase of many tokens here", "en", "src0", 43),
+        (5, "", "en", "src0", 0),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    sdf = q_ngram_jaccard_pairs(spark, sf)
+    s_fp = frame_fingerprint(sdf.columns, [tuple(r) for r in sdf.collect()])
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    cur = con.execute(_ORACLE["ngram_jaccard_pairs"])
+    d_fp = frame_fingerprint(
+        [c[0] for c in cur.description], [tuple(r) for r in cur.fetchall()]
+    )
+    assert s_fp == d_fp
+    assert s_fp[0] >= 1  # the duplicate pair (3,4) must be found
+
+
 def test_approx_distinct_within_5pct(spark):
     from engine.queries import q_approx_distinct, _t
     import pyspark.sql.functions as F
