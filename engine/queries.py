@@ -767,11 +767,14 @@ def _sql_ann_cosine_topk():
 
 def q_embedding_neardup_pairs(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (the 5th dedup class):
-    all (a,b) with cosine ≥ 0.30 (threshold chosen so the random testdata yields a non-vacuous pair set). Brute-force self-join at oracle scale;
-    the 10^9-vector path reuses the sign-LSH bucketing of
-    q_ann_lsh_bucketed as the candidate filter before this exact kernel.
-    Norms are precomputed per side (projection before the join), so the
-    join condition touches only a dot product."""
+    all (a,b) with cosine ≥ 0.30 (threshold chosen so the random testdata
+    yields a non-vacuous pair set). This is the ORACLE kernel — an O(n²)
+    interpreted theta-join kept at oracle scale only (sf0.01 correctness
+    rows; deliberately not a headline bench op). The two scale paths it
+    verifies: q_embedding_neardup_pairs_fast (exact, blocked distributed
+    numpy) and q_embedding_neardup_pairs_lsh (sub-quadratic banded
+    sign-LSH). Norms are precomputed per side (projection before the
+    join), so the join condition touches only a dot product."""
     e = _t(spark, sf_dir, "embeddings")
     norm2 = F.aggregate(
         F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
@@ -823,50 +826,174 @@ def _sql_embedding_neardup_pairs():
 NEARDUP_SIM = 0.30
 
 
+_NEARDUP_BLOCKS = 8
+
+
 def q_embedding_neardup_pairs_fast(spark, sf_dir):
-    """Vectorized fast path for the near-dup pair kernel: the full embedding
-    matrix (n x d floats — broadcastable while n*d*4 bytes fits an executor,
-    i.e. up to ~10^7 x 64) ships once per executor; each Arrow batch computes
-    its rows' similarities against the whole matrix with one numpy matmul.
-    ~10-50x the interpreted higher-order-function kernel. Non-oracle: BLAS
-    accumulation order differs from a sequential fold, so the 4-decimal
-    rounding can differ in the last digit — tests/test_ann.py pins pair-set
-    equality with the exact kernel instead. Beyond broadcastable sizes, the
-    sign-LSH buckets (q_ann_lsh_bucketed) shard the matrix first."""
+    """Distributed exact near-dup pair kernel: block-pair decomposition.
+
+    Every vector lands in block g = pmod(xxhash64(vec_id), G); each of the
+    G(G+1)/2 block pairs becomes one task whose numpy matmul scores its two
+    sub-matrices against each other. Every unordered pair of vectors falls
+    in EXACTLY one block pair, so the result is exact — identical pair set
+    to the interpreted oracle kernel (tests/test_ann.py) — with no driver
+    materialization (no toPandas, unlike the round-1 version) and no O(n²)
+    row join. At 10^9 vectors: size G so n/G · d · 8 B fits one executor
+    (G ≈ 10³ → ~0.5 GB per side); shuffle volume is G·n rows (replication
+    factor G), the unavoidable cost of exact all-pairs; FLOPs stay n²·d/2
+    split across G(G+1)/2 independent BLAS tasks. The LSH variant below is
+    the sub-quadratic approximate path."""
     import numpy as np
+    import pandas as pd
 
-    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # the broadcast side is materialized once on the driver by design —
-    # this is the standard small-dim broadcast pattern, bounded by the
-    # broadcastable-size precondition in the docstring
-    data = e.toPandas()
-    ids = data["vec_id"].to_numpy()
-    mat = np.array(data["embedding"].tolist(), dtype=np.float64)
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, mat))
+    G = _NEARDUP_BLOCKS
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        F.pmod(F.xxhash64("vec_id"), F.lit(G)).cast("int").alias("g"),
+    )
+    block_pairs = spark.createDataFrame(
+        [(i, j) for i in range(G) for j in range(i, G)], "ga int, gb int"
+    )
+    rep = e.join(
+        F.broadcast(block_pairs),
+        (F.col("g") == F.col("ga")) | (F.col("g") == F.col("gb")),
+    )
 
-    def score(batches):
-        import pandas as pd
+    def score_block_pair(pdf: pd.DataFrame) -> pd.DataFrame:
+        ga, gb = int(pdf["ga"].iloc[0]), int(pdf["gb"].iloc[0])
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        g = pdf["g"].to_numpy()
+        if ga == gb:
+            sims = np.round(mat @ mat.T, 4)  # round BEFORE threshold —
+            # boundary semantics match the exact kernel
+            ii, jj = np.nonzero(np.triu(sims >= NEARDUP_SIM, 1))
+            a_ids, b_ids, s = ids[ii], ids[jj], sims[ii, jj]
+        else:
+            am, bm = g == ga, g == gb
+            sims = np.round(mat[am] @ mat[bm].T, 4)
+            ii, jj = np.nonzero(sims >= NEARDUP_SIM)
+            a_ids, b_ids, s = ids[am][ii], ids[bm][jj], sims[ii, jj]
+        lo, hi = np.minimum(a_ids, b_ids), np.maximum(a_ids, b_ids)
+        return pd.DataFrame({"vec_a": lo, "vec_b": hi, "sim": s})
 
-        b_ids, b_mat = bc.value
+    return rep.groupBy("ga", "gb").applyInPandas(
+        score_block_pair, schema="vec_a long, vec_b long, sim double"
+    )
+
+
+_NEARDUP_LSH_BITS = 3
+_NEARDUP_LSH_BANDS = 16
+
+
+def _rand_planes(n: int, seed: int) -> list[list[float]]:
+    import random as _r
+
+    rng = _r.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(_EMB_DIM)] for _ in range(n)
+    ]
+
+
+def _neardup_lsh_pairs(
+    spark,
+    sf_dir,
+    bits: int,
+    bands: int,
+    threshold: float,
+    candidates_only: bool = False,
+) -> DataFrame:
+    """Banded sign-LSH near-dup pairs: candidates from band-bucket joins,
+    then exact cosine verification over the candidate set only.
+
+    Each vector gets `bands` independent `bits`-bit sign codes (sign of the
+    dot product with fixed Gaussian hyperplanes — plan-time literal
+    codebook, all JVM-side). Two vectors are candidates iff they share any
+    (band, code) bucket: P(candidate | cos θ) = 1-(1-p^bits)^bands with
+    p = 1-θ/π. Verification is an Arrow-batched row-wise numpy cosine over
+    candidates — never an n×n matrix. The only shuffles are the band-bucket
+    groupBy and the two id joins: at 10^12 docs this touches
+    O(n·bands + |candidates|) rows, the sub-quadratic scale path. The prune
+    factor is threshold-dependent: at production thresholds (≥0.85,
+    bits=8/bands=12) candidates are <5% of all pairs (pinned in
+    tests/test_ann.py); at this battery's deliberately-low 0.30 threshold
+    the sign-gap is small and the operator's value is recall, not prune."""
+    import numpy as np
+    import pandas as pd
+
+    e = _t_spread(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    codes = []
+    for band in range(bands):
+        planes = _rand_planes(bits, seed=101 + band)
+        code = None
+        for j, pl in enumerate(planes):
+            bit = F.when(
+                _vec_dot_plane(F.col("embedding"), pl) > 0, F.lit(1 << j)
+            ).otherwise(F.lit(0))
+            code = bit if code is None else code + bit
+        codes.append(
+            F.struct(F.lit(band).alias("band"), code.alias("code"))
+        )
+    banded = e.select(
+        "vec_id", F.explode(F.array(*codes)).alias("bc")
+    ).select("vec_id", "bc.band", "bc.code")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.code") == F.col("b.code"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    if candidates_only:
+        return cand
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    joined = cand.join(ea, "vec_a").join(eb, "vec_b")
+
+    def verify(batches):
         for pdf in batches:
-            q_ids = pdf["vec_id"].to_numpy()
-            q = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            q = q / np.linalg.norm(q, axis=1, keepdims=True)
-            sims = np.round(q @ b_mat.T, 4)  # (batch, n); round BEFORE the
-            # threshold so boundary semantics match the exact kernel
-            out_a, out_b, out_s = [], [], []
-            for r in range(sims.shape[0]):
-                mask = (sims[r] >= NEARDUP_SIM) & (b_ids > q_ids[r])
-                hit = np.flatnonzero(mask)
-                out_a.extend([int(q_ids[r])] * len(hit))
-                out_b.extend(b_ids[hit].tolist())
-                out_s.extend(sims[r][hit].tolist())
+            if len(pdf) == 0:
+                continue
+            va = np.array(pdf["emb_a"].tolist(), dtype=np.float64)
+            vb = np.array(pdf["emb_b"].tolist(), dtype=np.float64)
+            sims = np.round(
+                (va * vb).sum(axis=1)
+                / (np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)),
+                4,
+            )
+            keep = sims >= threshold
             yield pd.DataFrame(
-                {"vec_a": out_a, "vec_b": out_b, "sim": out_s},
+                {
+                    "vec_a": pdf["vec_a"].to_numpy()[keep],
+                    "vec_b": pdf["vec_b"].to_numpy()[keep],
+                    "sim": sims[keep],
+                }
             )
 
-    return e.mapInPandas(score, schema="vec_a long, vec_b long, sim double")
+    return joined.mapInPandas(verify, schema="vec_a long, vec_b long, sim double")
+
+
+def q_embedding_neardup_pairs_lsh(spark, sf_dir):
+    """Registered LSH near-dup operator at the battery threshold. Default
+    banding (3 bits × 16 bands) gives expected recall ≈0.98 for pairs at
+    cos 0.30; tests/test_ann.py pins recall ≥0.95 against the exact kernel
+    at sf0.01 and prune-effectiveness at a production threshold on planted
+    near-dups. Non-oracle (probabilistic candidate set)."""
+    return _neardup_lsh_pairs(
+        spark,
+        sf_dir,
+        bits=_NEARDUP_LSH_BITS,
+        bands=_NEARDUP_LSH_BANDS,
+        threshold=NEARDUP_SIM,
+    )
 
 
 _LSH_BITS = 4
@@ -1330,6 +1457,7 @@ _reg(
     _sql_embedding_neardup_pairs(),
 )
 _reg("embedding_neardup_pairs_fast", q_embedding_neardup_pairs_fast, None)
+_reg("embedding_neardup_pairs_lsh", q_embedding_neardup_pairs_lsh, None)
 _reg("lang_id_heuristic", q_lang_id_heuristic, _sql_lang_id_heuristic())
 _reg("quality_score", q_quality_score, _sql_quality_score())
 _reg("token_count", q_token_count, _sql_token_count())

@@ -35,3 +35,67 @@ def test_fast_neardup_same_pair_set_as_exact(spark):
     exact = {(r["vec_a"], r["vec_b"]) for r in q_embedding_neardup_pairs(spark, SF).collect()}
     fast = {(r["vec_a"], r["vec_b"]) for r in q_embedding_neardup_pairs_fast(spark, SF).collect()}
     assert fast == exact and len(exact) > 0
+
+
+def test_lsh_neardup_recall_vs_exact(spark):
+    """The banded sign-LSH operator must recover ≥0.95 of the exact pair
+    set at sf0.01 (expected ≈0.98 with 3 bits × 16 bands for pairs at
+    cos 0.30), and — because the verify stage is exact — emit NO pair the
+    exact kernel doesn't."""
+    from engine.queries import q_embedding_neardup_pairs_lsh
+
+    sf = "/root/testdata/sf0.01"
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in q_embedding_neardup_pairs(spark, sf).collect()
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"])
+        for r in q_embedding_neardup_pairs_lsh(spark, sf).collect()
+    }
+    assert lsh <= exact
+    assert len(lsh & exact) / len(exact) >= 0.95
+
+
+def test_lsh_neardup_prunes_at_production_threshold(spark, tmp_path):
+    """At a realistic near-dup threshold (0.9) with production banding
+    (8 bits × 12 bands), the candidate set must be a small fraction of all
+    pairs AND every planted near-dup pair must be found — the regime where
+    sub-quadratic LSH actually pays."""
+    import random
+
+    import numpy as np
+
+    from engine.queries import _neardup_lsh_pairs
+
+    rng = random.Random(42)
+    n_random, n_planted, dim = 480, 10, 64
+    rows = []
+    planted = set()
+    for i in range(n_random):
+        rows.append((i, [rng.gauss(0.0, 1.0) for _ in range(dim)], 0))
+    for p in range(n_planted):
+        base = np.array([rng.gauss(0.0, 1.0) for _ in range(dim)])
+        noise = np.array([rng.gauss(0.0, 0.02) for _ in range(dim)])
+        a_id, b_id = 1000 + 2 * p, 1001 + 2 * p
+        rows.append((a_id, base.tolist(), 1))
+        rows.append((b_id, (base + noise).tolist(), 1))
+        planted.add((a_id, b_id))
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    ).coalesce(1).write.parquet(f"{sf}/embeddings.parquet")
+
+    n_total = n_random + 2 * n_planted
+    all_pairs = n_total * (n_total - 1) / 2
+    n_cand = _neardup_lsh_pairs(
+        spark, sf, bits=8, bands=12, threshold=0.9, candidates_only=True
+    ).count()
+    assert n_cand / all_pairs < 0.15, f"candidates {n_cand}/{all_pairs:.0f}"
+    found = {
+        (r["vec_a"], r["vec_b"])
+        for r in _neardup_lsh_pairs(
+            spark, sf, bits=8, bands=12, threshold=0.9
+        ).collect()
+    }
+    assert planted <= found

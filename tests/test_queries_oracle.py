@@ -28,6 +28,7 @@ def test_all_queries_match_oracle(spark):
         "ann_lsh_bucketed",
         "approx_distinct",
         "embedding_neardup_pairs_fast",
+        "embedding_neardup_pairs_lsh",
     }
 
 
