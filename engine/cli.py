@@ -56,6 +56,11 @@ def main(argv: list[str] | None = None) -> int:
     ep.add_argument("--runs-root", required=True)
     ep.add_argument("--run-id")
     ep.add_argument("--target-partition-mb", type=int, default=64)
+    ep.add_argument(
+        "--force",
+        action="store_true",
+        help="reset an existing run (clears extracted/staged/lineage)",
+    )
 
     rp = sub.add_parser("run")
     rp.add_argument("--pages", required=True)
@@ -119,6 +124,7 @@ def main(argv: list[str] | None = None) -> int:
             a.runs_root,
             target_partition_bytes=a.target_partition_mb << 20,
             run_id=a.run_id,
+            force=a.force,
         )
         st = m.state()
         print(

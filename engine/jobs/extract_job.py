@@ -18,15 +18,26 @@ which IS the salting strategy for the extract stage: the skew-prone key
 explicit salt column instead (see queries.q_salted_host_join).
 
 Commit protocol (resume unit = wave of partitions):
+  0. stage keyed pages ONCE, written partitionBy(partition_id) (atomic dir
+     rename) — partition_id is hash(url), which parquet cannot prune as a
+     predicate, but CAN prune as a partition directory. Waves then read
+     only their own files instead of re-scanning the corpus (round-1 did W
+     full scans for W waves — a 100 TB corpus scanned W times).
   for each wave of pending partition ids:
-    1. filter pages to the wave's partitions        (one scan, map-only after)
+    1. read the wave's staged partition dirs        (file-pruned scan)
     2. run the fused extract UDF
-    3. write extracted parquet partitioned by partition_id (append)
+    3. write extracted parquet partitioned by partition_id with DYNAMIC
+       partition overwrite — a crash between write and commit leaves
+       orphan rows, and the resume's rewrite of the same wave REPLACES
+       them instead of appending duplicates
     4. write the wave's lineage rows (doc/byte counts, checksum, wall_ms)
+       to a wave-keyed file, mode=overwrite (same idempotency)
     5. atomically flip those partitions pending→committed in manifest.json
-A kill between waves loses at most the in-flight wave; re-running the job
-recomputes ONLY partitions absent from the manifest (Q5 idempotency,
-emop/lib/emop_run.py :: should_run [U]). A fully committed run is a no-op.
+A kill ANYWHERE — between waves or between steps 3/4 and 5 — loses at most
+the in-flight wave's work; re-running recomputes ONLY partitions absent
+from the manifest and overwrites any orphan output (Q5 idempotency,
+emop/lib/emop_run.py :: should_run [U], kill-mid-wave pinned in
+tests/test_resume.py). A fully committed run is a no-op.
 """
 
 from __future__ import annotations
@@ -94,6 +105,7 @@ def enqueue(
     target_partition_bytes: int = DEFAULT_TARGET_PARTITION_BYTES,
     min_partitions: int = 8,
     run_id: str | None = None,
+    force: bool = False,
 ) -> RunManifest:
     """submit/reserve analog: size the run and commit a pending manifest."""
     sized = pages.agg(
@@ -101,7 +113,35 @@ def enqueue(
     ).collect()[0]
     total_bytes = int(sized["b"] or 0)
     n = plan_partitions(total_bytes, target_partition_bytes, min_partitions)
-    return RunManifest.create(runs_root, n, total_bytes, run_id=run_id)
+    return RunManifest.create(
+        runs_root, n, total_bytes, run_id=run_id, force=force
+    )
+
+
+def stage_pages(
+    spark: SparkSession, pages: DataFrame, manifest: RunManifest
+) -> str:
+    """Write keyed pages ONCE, laid out partitionBy(partition_id), so wave
+    filters become partition-directory pruning instead of full scans.
+    Publication is an atomic directory rename: a kill mid-staging leaves
+    only a .tmp dir that the next attempt clears and rebuilds."""
+    import os
+    import shutil
+
+    staged = manifest.staged_path
+    if os.path.exists(staged):
+        return staged
+    n_parts = manifest.state()["n_partitions"]
+    tmp = staged + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        with_partition_id(pages, n_parts)
+        .write.mode("overwrite")
+        .partitionBy("partition_id")
+        .parquet(tmp)
+    )
+    os.rename(tmp, staged)
+    return staged
 
 
 def run_extract_job(
@@ -116,35 +156,48 @@ def run_extract_job(
     `max_waves` exists for the resume test (simulates a mid-run kill).
     Returns summary counters.
     """
-    n_parts = manifest.state()["n_partitions"]
     pending = manifest.pending_partitions()
     done_docs = 0
     waves_run = 0
-    wave_no = len(manifest.committed_partitions()) // max(wave_size, 1)
-
-    keyed = with_partition_id(pages, n_parts)
+    if not pending:
+        return {
+            "run_id": manifest.run_id,
+            "waves_run": 0,
+            "docs_processed": 0,
+            "complete": True,
+        }
+    staged = stage_pages(spark, pages, manifest)
 
     for w0 in range(0, len(pending), wave_size):
         if max_waves is not None and waves_run >= max_waves:
             break
         wave = pending[w0 : w0 + wave_size]
         t0 = time.monotonic()
-        batch = keyed.where(F.col("partition_id").isin(wave))
+        # partition_id is a partition DIRECTORY of the staged table → this
+        # filter prunes to the wave's files (pinned by the inputFiles test)
+        batch = spark.read.parquet(staged).where(
+            F.col("partition_id").isin(wave)
+        )
         extracted = batch.select("url", "html", "partition_id").mapInPandas(
             _extract_with_pid, schema=EXTRACTED_DDL + ", partition_id int"
         )
         (
-            extracted.write.mode("append")
+            extracted.write.mode("overwrite")
+            # dynamic overwrite replaces ONLY the partitions this wave
+            # produced: orphan rows from a crash between write and commit
+            # are rewritten, never duplicated, on resume
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("partition_id")
             .parquet(manifest.extracted_path)
         )
         # lineage from the just-written files (counts what was COMMITTED,
-        # not what was attempted)
+        # not what was attempted); partition pruning keeps the read to the
+        # wave's own output dirs
         out = spark.read.parquet(manifest.extracted_path).where(
             F.col("partition_id").isin(wave)
         )
         wall_ms = int((time.monotonic() - t0) * 1000)
-        lineage = (
+        lin_rows = (
             out.groupBy("partition_id")
             .agg(
                 F.count("*").alias("doc_count"),
@@ -171,24 +224,32 @@ def run_extract_job(
                     256,
                 ).alias("checksum"),
             )
-            .select(
-                F.lit(manifest.run_id).alias("run_id"),
-                F.col("partition_id").cast("int"),
-                F.lit("extract").alias("stage"),
-                F.col("doc_count").cast("long"),
-                F.col("byte_count").cast("long"),
-                F.lit(EXTRACTOR_VERSION).alias("extractor_version"),
-                F.col("checksum"),
-                F.lit(wall_ms).cast("long").alias("wall_ms"),
-            )
+            .collect()
         )
-        lineage.coalesce(1).write.mode("append").parquet(
-            manifest.lineage_wave_path(wave_no)
+        lineage = spark.createDataFrame(
+            [
+                (
+                    manifest.run_id,
+                    int(r["partition_id"]),
+                    "extract",
+                    int(r["doc_count"]),
+                    int(r["byte_count"]),
+                    EXTRACTOR_VERSION,
+                    r["checksum"],
+                    wall_ms,
+                )
+                for r in lin_rows
+            ],
+            schema=_lineage_ddl(),
+        )
+        # wave file keyed by its first partition id: unique across waves
+        # (pending sets are disjoint), stable across resume, overwrite-safe
+        lineage.coalesce(1).write.mode("overwrite").parquet(
+            manifest.lineage_wave_path(wave[0])
         )
         manifest.commit_partitions(wave)  # atomic snapshot flip — THE commit
-        done_docs += out.count()
+        done_docs += sum(int(r["doc_count"]) for r in lin_rows)
         waves_run += 1
-        wave_no += 1
 
     return {
         "run_id": manifest.run_id,
@@ -237,19 +298,32 @@ def read_extracted(spark: SparkSession, manifest: RunManifest) -> DataFrame:
     return df.where(F.col("partition_id").isin(committed))
 
 
+def _next_retry_attempt(manifest: RunManifest) -> int:
+    """Attempt numbers come from the retry lineage files already on disk —
+    monotonically increasing, so every retry wave keeps its own audit rows
+    and the latest-attempt window in read_current_extracted is
+    total-ordered."""
+    existing = sorted(manifest.lineage_dir.glob("retry-*.parquet"))
+    if not existing:
+        return 1
+    return max(int(p.stem.split("-")[1]) for p in existing) + 1
+
+
 def retry_failed(
     spark: SparkSession, pages: DataFrame, manifest: RunManifest
 ) -> dict:
     """retry-failed-page analog (Q6): re-extract failed urls, MERGE-style.
 
-    Re-extracted rows are appended with a bumped attempt marker; the
-    current-view dedup (latest attempt per url) happens in
-    `read_current_extracted`. Without a Delta/Iceberg MERGE in-sandbox this
+    Re-extracted rows are appended with a real monotonically increasing
+    `attempt` column; the current-view dedup (latest attempt per url)
+    happens in `read_current_extracted`. Each retry wave writes its OWN
+    lineage file (retry-NNN.parquet) so a second retry never erases the
+    first's audit rows. Without a Delta/Iceberg MERGE in-sandbox this
     append+window-dedup is the idempotent equivalent.
     """
     n_parts = manifest.state()["n_partitions"]
     failed_urls = (
-        read_extracted(spark, manifest)
+        read_current_extracted(spark, manifest)
         .where(F.col("status") == "failed")
         .select("url")
         .distinct()
@@ -260,16 +334,18 @@ def retry_failed(
     n_failed = todo.count()
     if n_failed == 0:
         return {"retried": 0}
+    attempt = _next_retry_attempt(manifest)
     t0 = time.monotonic()
     redone = todo.select("url", "html", "partition_id").mapInPandas(
         _extract_with_pid, schema=EXTRACTED_DDL + ", partition_id int"
-    )
+    ).withColumn("attempt", F.lit(attempt))
     retry_path = manifest.extracted_path + "_retry"
     redone.write.mode("append").partitionBy("partition_id").parquet(retry_path)
     # every stage writes lineage rows (BASELINE.json north_star) — the retry
-    # wave is auditable like any extract wave
+    # wave is auditable like any extract wave; lineage covers THIS attempt
+    # only, not the accumulated retry table
     wall_ms = int((time.monotonic() - t0) * 1000)
-    out = spark.read.parquet(retry_path)
+    out = spark.read.parquet(retry_path).where(F.col("attempt") == attempt)
     lineage = (
         out.groupBy("partition_id")
         .agg(
@@ -303,13 +379,16 @@ def retry_failed(
         )
     )
     lineage.coalesce(1).write.mode("overwrite").parquet(
-        str(manifest.lineage_dir / "retry.parquet")
+        str(manifest.lineage_dir / f"retry-{attempt:03d}.parquet")
     )
-    return {"retried": n_failed}
+    return {"retried": n_failed, "attempt": attempt}
 
 
 def read_current_extracted(spark: SparkSession, manifest: RunManifest) -> DataFrame:
-    """Latest-attempt view across base + retry outputs (MERGE emulation)."""
+    """Latest-attempt view across base + retry outputs (MERGE emulation).
+    Retry rows carry their real attempt number (written by retry_failed),
+    so repeated retries are total-ordered and the window winner is
+    deterministic."""
     from pyspark.sql import Window as W
 
     base = read_extracted(spark, manifest).withColumn("attempt", F.lit(0))
@@ -317,7 +396,7 @@ def read_current_extracted(spark: SparkSession, manifest: RunManifest) -> DataFr
     import os
 
     if os.path.exists(retry_path):
-        retry = spark.read.parquet(retry_path).withColumn("attempt", F.lit(1))
+        retry = spark.read.parquet(retry_path).select(*base.columns)
         base = base.unionByName(retry)
     w = W.partitionBy("url").orderBy(F.desc("attempt"))
     return (

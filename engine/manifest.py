@@ -22,9 +22,13 @@ Run directory layout:
 
   {root}/{run_id}/
     manifest.json                 # atomic snapshot: per-partition status
+    staged/                       # keyed input, partitioned by partition_id
+      partition_id=K/*.parquet    #   (written once; waves prune to their dirs)
     extracted/                    # output parquet, partitioned by partition_id
       partition_id=K/*.parquet
+    extracted_retry/              # retry attempts (attempt column in data)
     lineage/wave-*.parquet        # committed per-partition lineage rows
+    lineage/retry-NNN.parquet     # one audit file per retry attempt
 """
 
 from __future__ import annotations
@@ -53,10 +57,28 @@ class RunManifest:
         n_partitions: int,
         total_bytes: int,
         run_id: str | None = None,
+        force: bool = False,
     ) -> "RunManifest":
-        """Reserve step (Q2): one pending row per partition, one commit."""
+        """Reserve step (Q2): one pending row per partition, one commit.
+
+        Refuses to re-create an existing run: silently resetting every
+        partition to pending while extracted/ and lineage/ persist would
+        make a re-run append duplicates of all committed rows. `force=True`
+        is the explicit override — it also clears the run's data dirs so
+        the reset is consistent."""
+        import shutil
+
         run_id = run_id or uuid.uuid4().hex[:12]
         m = cls(root, run_id)
+        if m.path.exists():
+            if not force:
+                raise FileExistsError(
+                    f"run {run_id} already has a manifest under {root}; "
+                    "load it to resume, or pass force=True to reset "
+                    "(clears extracted/, staged/ and lineage/)"
+                )
+            for sub in ("extracted", "extracted_retry", "staged", "staged.tmp", "lineage"):
+                shutil.rmtree(m.dir / sub, ignore_errors=True)
         m.dir.mkdir(parents=True, exist_ok=True)
         (m.dir / "lineage").mkdir(exist_ok=True)
         state = {
@@ -129,6 +151,12 @@ class RunManifest:
     @property
     def extracted_path(self) -> str:
         return str(self.dir / "extracted")
+
+    @property
+    def staged_path(self) -> str:
+        """Keyed input staged once, partitionBy(partition_id), so waves
+        read only their own partition directories."""
+        return str(self.dir / "staged")
 
     @property
     def lineage_dir(self) -> pathlib.Path:

@@ -174,6 +174,100 @@ def test_host_salting_spreads_hot_hosts(spark, pages):
     assert unsalted == 1
 
 
+def test_kill_between_write_and_commit_no_duplicates(spark, pages, tmp_path):
+    """ADVICE(high): a crash AFTER the wave's parquet write but BEFORE the
+    manifest flip leaves orphan rows; the resume must REPLACE them (dynamic
+    partition overwrite), not append duplicates."""
+    root = str(tmp_path / "runs")
+    man = enqueue(spark, pages, root, min_partitions=12, run_id="orphan-test")
+    run_extract_job(spark, pages, man, wave_size=4, max_waves=1)
+
+    class _Kill(RuntimeError):
+        pass
+
+    real_commit = man.commit_partitions
+    man.commit_partitions = lambda wave: (_ for _ in ()).throw(_Kill())
+    with pytest.raises(_Kill):
+        run_extract_job(spark, pages, man, wave_size=4, max_waves=1)
+    man.commit_partitions = real_commit
+
+    # orphan rows + orphan lineage now exist for the killed wave; resume
+    man2 = RunManifest.load(root, "orphan-test")
+    assert len(man2.committed_partitions()) == 4
+    r = run_extract_job(spark, pages, man2, wave_size=4)
+    assert r["complete"]
+    out = read_extracted(spark, man2)
+    assert out.count() == pages.count()  # no duplicates
+    # every url appears exactly as often as in the input (orphan rows would
+    # inflate its count)
+    in_urls = {r["url"]: r["count"] for r in pages.groupBy("url").count().collect()}
+    out_urls = {r["url"]: r["count"] for r in out.groupBy("url").count().collect()}
+    assert out_urls == in_urls
+    lin = read_lineage(spark, man2)
+    per_part = lin.groupBy("partition_id").count().collect()
+    assert len(per_part) == 12 and all(r["count"] == 1 for r in per_part)
+    assert lin.agg(F.sum("doc_count")).collect()[0][0] == pages.count()
+
+
+def test_waves_read_only_their_partitions(spark, pages, tmp_path):
+    """Scale invariant: after the one-time staging write, a wave's scan
+    touches ONLY its partition directories (file pruning on the staged
+    layout), not the whole corpus — W waves must not mean W full scans."""
+    from engine.jobs.extract_job import stage_pages
+
+    root = str(tmp_path / "runs")
+    man = enqueue(spark, pages, root, min_partitions=12, run_id="prune-test")
+    staged = stage_pages(spark, pages, man)
+    wave = [0, 1, 2]
+    batch = spark.read.parquet(staged).where(F.col("partition_id").isin(wave))
+    # the wave filter must land as a PARTITION filter on the scan (directory
+    # pruning), not a post-scan data filter over the whole corpus
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scan_lines and "PartitionFilters: [partition_id" in scan_lines[0]
+    assert " IN (0,1,2)" in scan_lines[0], scan_lines[0]
+    # and the pruned read returns only the wave's rows
+    got_parts = {r["partition_id"] for r in batch.select("partition_id").distinct().collect()}
+    assert got_parts <= set(wave) and got_parts
+
+
+def test_second_retry_preserves_first_audit_rows(spark, pages, tmp_path):
+    """ADVICE(low): retry attempts are numbered; a second retry writes its
+    own lineage file and rows instead of erasing the first's."""
+    root = str(tmp_path / "runs")
+    man = enqueue(spark, pages, root, min_partitions=8, run_id="retry2-test")
+    run_extract_job(spark, pages, man, wave_size=8)
+    r1 = retry_failed(spark, pages, man)
+    if r1["retried"] == 0:
+        pytest.skip("corpus produced no failed docs")
+    assert r1["attempt"] == 1
+    r2 = retry_failed(spark, pages, man)
+    assert r2.get("attempt", 2) == 2 or r2["retried"] == 0
+    lin = read_lineage(spark, man)
+    retry_rows = lin.where(F.col("stage") == "retry")
+    # first attempt's audit rows survive the second retry
+    assert retry_rows.agg(F.sum("doc_count")).collect()[0][0] >= r1["retried"]
+    # current view still exactly one row per url
+    cur = read_current_extracted(spark, man)
+    assert cur.count() == cur.select("url").distinct().count()
+
+
+def test_manifest_create_refuses_overwrite(spark, pages, tmp_path):
+    """ADVICE(low): re-creating an existing run must be an explicit,
+    data-clearing act, never a silent pending-reset over live data."""
+    root = str(tmp_path / "runs")
+    man = enqueue(spark, pages, root, min_partitions=8, run_id="guard-test")
+    run_extract_job(spark, pages, man, wave_size=8)
+    with pytest.raises(FileExistsError):
+        RunManifest.create(root, 8, 1, run_id="guard-test")
+    import os
+
+    man2 = RunManifest.create(root, 8, 1, run_id="guard-test", force=True)
+    assert man2.pending_partitions() == list(range(8))
+    assert not os.path.exists(man2.extracted_path)
+    assert not os.path.exists(man2.staged_path)
+
+
 def test_fresh_run_reads_as_empty(spark, pages, tmp_path):
     """retry/rollup on a never-run manifest must not crash."""
     root = str(tmp_path / "runs")
