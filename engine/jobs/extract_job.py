@@ -433,13 +433,35 @@ def export_run(
     return {"run_id": manifest.run_id, "dest": dest, "format": fmt, "rows": n}
 
 
-def rollup_hosts(spark: SparkSession, manifest: RunManifest) -> DataFrame:
+def rollup_hosts(
+    spark: SparkSession,
+    manifest: RunManifest,
+    golden: DataFrame | None = None,
+) -> DataFrame:
     """Host-level quality rollup over the extraction output: grouping sets
     (host), (host, status) — the dashboard's per-batch quality view recast
     (SURVEY.md §3.3 'metrics by (run),(run,host),(run,host,lang)').
     `parse_url` derives host from url JVM-side; one shuffle on the
-    grouping keys."""
+    grouping keys.
+
+    `golden` (url, expected_text) adds the R7/R8 secondary accuracy metric
+    (juxta/retas_compare.py [U]): avg levenshtein between extracted and
+    expected text over a 200-char prefix (bounded cost per row). Without a
+    golden table the column is null — the byte-identity goldens remain the
+    primary invariant."""
     out = read_extracted(spark, manifest)
+    if golden is not None:
+        out = out.join(F.broadcast(golden), "url", "left").withColumn(
+            "lev_vs_golden",
+            F.levenshtein(
+                F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 200),
+                F.substring(
+                    F.coalesce(F.col("expected_text"), F.lit("")), 1, 200
+                ),
+            ),
+        )
+    else:
+        out = out.withColumn("lev_vs_golden", F.lit(None).cast("int"))
     return (
         out.withColumn("host", F.parse_url("url", F.lit("HOST")))
         .rollup("host", "status")
@@ -448,6 +470,7 @@ def rollup_hosts(spark: SparkSession, manifest: RunManifest) -> DataFrame:
             F.sum(F.coalesce(F.col("n_chars"), F.lit(0))).alias("chars"),
             F.round(F.avg("boiler_ratio"), 4).alias("avg_boiler"),
             F.round(F.avg("quality"), 4).alias("avg_quality"),
+            F.round(F.avg("lev_vs_golden"), 2).alias("avg_lev_vs_golden"),
         )
     )
 

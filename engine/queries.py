@@ -644,6 +644,84 @@ def _sql_math_funcs():
     """
 
 
+def q_map_funcs(spark, sf_dir):
+    """MapType family (the debug-attrs map of SURVEY §3.3's array/map row):
+    build a real map<string,long> per user via map_from_entries over
+    collected (event_type, count) structs, then reduce it back to scalars
+    with map_keys / map_values / try_element_at. The map stays internal —
+    outputs are scalar so the driver can canonicalize. Oracle computes the
+    same values relationally (DuckDB needs no map to agree on them)."""
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    m = F.map_from_entries(
+        F.sort_array(F.collect_list(F.struct("event_type", "n")))
+    )
+    return (
+        per.groupBy("user_id")
+        .agg(m.alias("m"))
+        .select(
+            "user_id",
+            F.size(F.map_keys(F.col("m"))).alias("n_kinds"),
+            F.aggregate(
+                F.map_values(F.col("m")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("n_events"),
+            F.coalesce(
+                F.try_element_at(F.col("m"), F.lit("click")), F.lit(0)
+            ).alias("n_click"),
+            F.array_min(F.map_keys(F.col("m"))).alias("first_kind"),
+        )
+    )
+
+
+def _sql_map_funcs():
+    return """
+    WITH per AS (SELECT user_id, event_type, count(*) AS n
+                 FROM events GROUP BY 1, 2)
+    SELECT user_id,
+           count(*)                              AS n_kinds,
+           CAST(sum(n) AS BIGINT)                AS n_events,
+           CAST(coalesce(sum(n) FILTER (WHERE event_type = 'click'), 0)
+                AS BIGINT)                       AS n_click,
+           min(event_type)                       AS first_kind
+    FROM per GROUP BY user_id
+    """
+
+
+def q_json_roundtrip(spark, sf_dir):
+    """JSON encode/decode round-trip (the payload-JSON encode/decode analog,
+    emop_payload.py [U]): schema_of_json derives the struct schema from a
+    sample literal, from_json parses props into it, to_json re-serializes,
+    and get_json_object reads the re-serialized value back. k_rt must equal
+    k — the oracle asserts both against the original payload."""
+    sample = (
+        spark.range(1)
+        .select(F.schema_of_json(F.lit('{"k": 1}')).alias("s"))
+        .collect()[0]["s"]
+    )
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select("event_id", F.from_json("props", sample).alias("p"))
+        .select("event_id", F.col("p.k").cast("long").alias("k"))
+        .withColumn("rt", F.to_json(F.struct("k")))
+        .select(
+            "event_id",
+            "k",
+            F.get_json_object("rt", "$.k").cast("long").alias("k_rt"),
+        )
+    )
+
+
+def _sql_json_roundtrip():
+    return """
+    SELECT event_id,
+           CAST(props->>'$.k' AS BIGINT) AS k,
+           CAST(props->>'$.k' AS BIGINT) AS k_rt
+    FROM events
+    """
+
+
 # =========================================================================
 # Training-data pipeline operators (generic-prompt first-class set)
 # =========================================================================
@@ -1158,12 +1236,106 @@ def _sql_token_count():
     """
 
 
-def q_ngram_jaccard_pairs(spark, sf_dir):
+def q_token_correction_stats(spark, sf_dir):
+    """PageCorrector (R6) stats analog, oracle-checked: per document, the
+    dictionary-corrected token stream's correction count (pp_ecorr), health
+    ratio (pp_health) and a bounded levenshtein drift between original and
+    corrected text — the R7/R8 secondary accuracy metric
+    (juxta_compare.py / retas_compare.py [U] report edit-distance-style
+    scores next to the exact-match invariant). The JVM CASE-chain path runs
+    here (small dict → plan literals); the broadcast-dict Arrow path in
+    engine.correct is pinned byte-identical in tests/test_correct.py.
+    Levenshtein over a 200-char prefix: O(200²) per row, constant at any
+    corpus scale (full-text edit distance would be O(doc²))."""
+    from engine.correct import DEFAULT_DICT, corrected_tokens_expr
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select("doc_id", "text", F.split(F.col("text"), " ").alias("toks"))
+    base = base.withColumn(
+        "ctoks", corrected_tokens_expr(F.col("toks"), DEFAULT_DICT)
+    )
+    n_toks = F.size("toks")
+    n_corr = F.size(
+        F.filter(
+            F.zip_with("toks", "ctoks", lambda a, b: a != b), lambda x: x
+        )
+    )
+    base = base.select(
+        "doc_id",
+        "text",
+        n_toks.alias("n_tokens"),
+        n_corr.alias("n_corr"),
+        F.concat_ws(" ", "ctoks").alias("corrected"),
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "n_corr",
+        F.round(
+            F.when(
+                F.col("n_tokens") > 0,
+                1.0 - F.col("n_corr").cast("double") / F.col("n_tokens"),
+            ).otherwise(1.0),
+            4,
+        ).alias("health"),
+        F.levenshtein(
+            F.substring("text", 1, 200), F.substring("corrected", 1, 200)
+        ).alias("lev_drift"),
+    )
+
+
+def _sql_token_correction_stats():
+    from engine.correct import DEFAULT_DICT
+
+    case = " ".join(
+        f"WHEN x = '{k}' THEN '{v}'" for k, v in sorted(DEFAULT_DICT.items())
+    )
+    return f"""
+    WITH c AS (
+      SELECT doc_id, text, string_split(text, ' ') AS t,
+             list_transform(string_split(text, ' '),
+               x -> CASE {case} ELSE x END) AS ct
+      FROM documents)
+    SELECT doc_id,
+           len(t) AS n_tokens,
+           len(list_filter(list_zip(t, ct), p -> p[1] <> p[2])) AS n_corr,
+           round(CASE WHEN len(t) > 0 THEN
+               1.0 - CAST(len(list_filter(list_zip(t, ct),
+                           p -> p[1] <> p[2])) AS DOUBLE) / len(t)
+             ELSE 1.0 END, 4) AS health,
+           levenshtein(substring(text, 1, 200),
+                       substring(array_to_string(ct, ' '), 1, 200)) AS lev_drift
+    FROM c
+    """
+
+
+MAX_SHINGLE_DF = 128
+
+
+def q_ngram_jaccard_pairs(
+    spark,
+    sf_dir,
+    max_shingle_df: int = MAX_SHINGLE_DF,
+    min_jaccard: float = 0.2,
+):
     """N-gram Jaccard near-dup candidate pairs via explode + self-join on
     shared 3-gram shingles, exact Jaccard over distinct-shingle counts.
     Scale path: this is the verify stage AFTER LSH bucketing (below) prunes
     candidates; quadratic blowup never materializes because the join is on
-    shingle buckets, not a cross join."""
+    shingle buckets, not a cross join.
+
+    Hot-shingle guard: shingles whose document frequency exceeds
+    `max_shingle_df` are dropped BEFORE the self-join (and symmetrically
+    from the per-doc counts — 'jaccard over informative shingles'). A
+    stop-shingle like 'the of the' appears in ~every web document: at
+    10^12 docs it alone would send 10^12 rows to one reducer and its
+    bucket would imply 10^24 candidate pairs. df>threshold shingles carry
+    no near-dup signal (they don't discriminate), so the cap costs no
+    recall where it matters. 128 is far above the observed max df (25 at
+    sf0.1), so test-scale results are unchanged; the mechanism is pinned
+    with a binding cap in tests/test_dedup.py. The df computation is a
+    window over the same key as the join → same shuffle partitioning,
+    reused by AQE."""
     d = _t_spread(spark, sf_dir, "documents").select("doc_id", "text")
     toks = F.split(F.col("text"), " ")
     sh = d.select(
@@ -1188,6 +1360,13 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
             )
         ).alias("shingle"),
     ).where(F.length("shingle") > 0)
+    sh = (
+        sh.withColumn(
+            "df", F.count("*").over(W.partitionBy("shingle"))
+        )
+        .where(F.col("df") <= max_shingle_df)
+        .drop("df")
+    )
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -1211,19 +1390,24 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
                 4,
             ).alias("jaccard"),
         )
-        .where(F.col("jaccard") >= 0.2)
+        .where(F.col("jaccard") >= min_jaccard)
     )
 
 
 def _sql_ngram_jaccard_pairs():
-    return """
+    return f"""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-    sh AS (
+    sh_all AS (
       SELECT DISTINCT doc_id, s AS shingle FROM toks,
         UNNEST(list_transform(
           range(0, CASE WHEN len(t) - 3 > 0 THEN len(t) - 3 ELSE 0 END + 1),
           i -> concat_ws(' ', t[i+1], t[i+2], t[i+3]))) AS u(s)
       WHERE length(s) > 0),
+    sh AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle,
+               count(*) OVER (PARTITION BY shingle) AS df FROM sh_all)
+      WHERE df <= {MAX_SHINGLE_DF}),
     counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
@@ -1295,12 +1479,25 @@ def q_minhash_signatures(spark, sf_dir):
     )
 
 
-def q_lsh_bucket_candidates(spark, sf_dir):
+MAX_BAND_BUCKET = 4096
+
+
+def q_lsh_bucket_candidates(
+    spark, sf_dir, max_bucket: int = MAX_BAND_BUCKET
+):
     """MinHash-LSH near-dup candidates: band the signature (4 bands x 4
     rows), hash each band, groupBy (band_idx, band_hash) → docs sharing any
     band bucket are candidate pairs. The only shuffle is on band hashes —
     the scale path for near-dedup at 10^12 docs. Non-oracle (engine hash);
-    verified in tests against exact Jaccard."""
+    verified in tests against exact Jaccard.
+
+    Degenerate-bucket guard: a band bucket of size s implies s(s-1)/2
+    candidate pairs on one reducer; at web scale the empty-document /
+    template-boilerplate bucket holds millions of docs (10^13 pairs from
+    one key). Buckets larger than `max_bucket` are dropped — above that
+    size the bucket is a degenerate cluster, not near-dup signal. 4096
+    (~8M pairs/bucket max) never binds on testdata; the mechanism is
+    pinned with a binding cap in tests/test_dedup.py."""
     sigs = _minhash_sig_df(spark, sf_dir)
     rows_per_band = N_MINHASH // LSH_BANDS
     banded = sigs.select(
@@ -1327,6 +1524,14 @@ def q_lsh_bucket_candidates(spark, sf_dir):
             )
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_hash")
+    banded = (
+        banded.withColumn(
+            "bucket_n",
+            F.count("*").over(W.partitionBy("band_idx", "band_hash")),
+        )
+        .where(F.col("bucket_n") <= max_bucket)
+        .drop("bucket_n")
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -1443,6 +1648,8 @@ _reg("correlated_above_avg", q_correlated_above_avg, _sql_correlated_above_avg()
 _reg("approx_distinct", q_approx_distinct, None)
 _reg("time_window_agg", q_time_window_agg, _sql_time_window_agg())
 _reg("math_funcs", q_math_funcs, _sql_math_funcs())
+_reg("map_funcs", q_map_funcs, _sql_map_funcs())
+_reg("json_roundtrip", q_json_roundtrip, _sql_json_roundtrip())
 _reg("dedup_exact", q_dedup_exact, _sql_dedup_exact())
 _reg(
     "training_set_selection",
@@ -1461,6 +1668,11 @@ _reg("embedding_neardup_pairs_lsh", q_embedding_neardup_pairs_lsh, None)
 _reg("lang_id_heuristic", q_lang_id_heuristic, _sql_lang_id_heuristic())
 _reg("quality_score", q_quality_score, _sql_quality_score())
 _reg("token_count", q_token_count, _sql_token_count())
+_reg(
+    "token_correction_stats",
+    q_token_correction_stats,
+    _sql_token_correction_stats(),
+)
 _reg("ngram_jaccard_pairs", q_ngram_jaccard_pairs, _sql_ngram_jaccard_pairs())
 _reg("minhash_signatures", q_minhash_signatures, None)
 _reg("lsh_bucket_candidates", q_lsh_bucket_candidates, None)

@@ -122,6 +122,59 @@ def test_fingerprint_deterministic(spark):
     assert a == b and len(a) > 0
 
 
+def _write_docs(spark, tmp_path, texts):
+    rows = [
+        (i, t, "en", "src0", len(t)) for i, t in enumerate(texts)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
+def test_shingle_df_cap_bounds_hot_key(spark, tmp_path):
+    """A stop-shingle shared by every document must stop feeding the
+    self-join once its df exceeds the cap: with the cap binding, only the
+    genuine near-dup pair survives; without it, the hot shingle alone
+    creates O(n²) intersection rows."""
+    hot = "alpha beta gamma"
+    texts = [f"{hot} unique{i} tail{i} end{i} more{i} pad{i}" for i in range(40)]
+    texts += [
+        "real duplicate content body words here seven eight nine ten",
+        "real duplicate content body words here seven eight nine ten",
+    ]
+    sf = _write_docs(spark, tmp_path, texts)
+    uncapped = q_ngram_jaccard_pairs(
+        spark, sf, max_shingle_df=10**9, min_jaccard=0.0
+    )
+    capped = q_ngram_jaccard_pairs(
+        spark, sf, max_shingle_df=8, min_jaccard=0.0
+    )
+    # the capped plan's candidate space excludes every hot-shingle-only pair
+    capped_pairs = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert capped_pairs == {(40, 41)}
+    # the uncapped plan materializes the quadratic hot-key blowup
+    assert uncapped.count() >= 40 * 39 / 2
+
+
+def test_lsh_bucket_cap_drops_degenerate_bucket(spark, tmp_path):
+    """A band bucket holding a giant identical-document cluster implies
+    s(s-1)/2 pairs on one reducer; a binding cap drops it while normal-size
+    buckets keep their candidates."""
+    texts = ["same degenerate boilerplate text repeated everywhere ok"] * 30
+    texts += [
+        "genuine article one about spark shuffles and joins here now",
+        "genuine article one about spark shuffles and joins here now",
+    ]
+    sf = _write_docs(spark, tmp_path, texts)
+    uncapped = q_lsh_bucket_candidates(spark, sf, max_bucket=10**9)
+    assert uncapped.count() >= 30 * 29 / 2  # degenerate cluster blowup
+    capped = q_lsh_bucket_candidates(spark, sf, max_bucket=8)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert (30, 31) in pairs  # the real near-dup survives
+    assert all(a >= 30 for a, _ in pairs)  # degenerate bucket gone
+
+
 def test_fingerprint_no_python_udf(spark):
     """All four engine-hash ops must stay JVM-side: no BatchEvalPython /
     ArrowEvalPython / mapInPandas in their physical plans."""
