@@ -1468,14 +1468,53 @@ def _minhash_sig_df(spark, sf_dir):
 
 
 def q_minhash_signatures(spark, sf_dir):
-    """Driver-facing MinHash query: the 16-element signature exploded to
-    (doc_id, k, sig_k) scalar rows — same information, but every output
-    column is scalar-typed so the correctness harness can canonicalize it
-    (tests/test_queries_oracle.py::test_all_query_schemas_scalar pins the
-    registry-wide no-array/map/struct rule). Non-oracle (engine hash);
-    MinHash ≈ Jaccard is pinned in tests/test_dedup.py."""
-    return _minhash_sig_df(spark, sf_dir).select(
-        "doc_id", F.posexplode("minhash").alias("k", "sig_k")
+    """Driver-facing MinHash query: the 16-element signature as
+    (doc_id, k, sig_k) scalar rows — same information as the array, but
+    every output column is scalar-typed so the correctness harness can
+    canonicalize it (test_all_query_schemas_scalar pins the registry-wide
+    no-array/map/struct rule).
+
+    Plan shape matters here: exploding the COMPUTED signature array
+    (posexplode over the sig expression) lets the optimizer inline the
+    whole 16-fold aggregate — including the tokenize+shingle subtree —
+    into the generator, recomputing shingles 16x per doc (measured 18x
+    slower). Instead the cheap k-sequence explodes FIRST; the shingle
+    array is a materialized attribute that Generate merely copies per k,
+    and ONE fold per (doc, k) row runs above it — identical total hash
+    work to the array version. Non-oracle (engine hash); equality with the
+    internal array signature and MinHash ≈ Jaccard are pinned in
+    tests/test_dedup.py."""
+    d = _t_spread(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0))),
+            lambda i: F.concat_ws(
+                " ",
+                F.try_element_at(toks, i + 1),
+                F.try_element_at(toks, i + 2),
+                F.try_element_at(toks, i + 3),
+            ),
+        )
+    )
+    sig_k = F.aggregate(
+        F.col("shingles"),
+        F.lit(None).cast("long"),
+        lambda acc, s: F.least(
+            F.coalesce(acc, F.lit((1 << 62) - 1)),
+            F.xxhash64(s, F.col("k").cast("string")),
+        ),
+    )
+    return (
+        d.select("doc_id", shingles.alias("shingles"))
+        .select(
+            "doc_id",
+            "shingles",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(N_MINHASH - 1))
+            ).alias("k"),
+        )
+        .select("doc_id", "k", sig_k.alias("sig_k"))
     )
 
 
