@@ -187,10 +187,10 @@ def tokenize_blocks(src: str) -> tuple[list[Block], int]:
         words = _unescape(run).split()
         if not words:
             return
-        st = state()
         if cur is None:
             cur = Block()
         if not cur.words:
+            st = state()
             cur.node_path = st.path or "html"
             cur.start = start
             cur.ignored = st.ignored
@@ -212,18 +212,20 @@ def tokenize_blocks(src: str) -> tuple[list[Block], int]:
             break
         if lt > i:
             add_text(src[i:lt], i, lt)
-        if m.group(1):  # <!--
+        # one C call for all five groups instead of up to four .group(n)
+        g_comment, g_decl, g_close, g_close_tag, g_open_tag = m.groups()
+        if g_comment:  # <!--
             close = src.find("-->", lt + 4)
             i = n if close == -1 else close + 3
             n_tags += 1
             continue
-        if m.group(2):  # <! / <?
+        if g_decl:  # <! / <?
             close = src.find(">", lt + 2)
             i = n if close == -1 else close + 1
             n_tags += 1
             continue
-        if m.group(3):  # </
-            tag = m.group(4)
+        if g_close:  # </
+            tag = g_close_tag
             if not tag:
                 add_text("<", lt, lt + 1)
                 i = lt + 1
@@ -249,7 +251,7 @@ def tokenize_blocks(src: str) -> tuple[list[Block], int]:
                     del child_counts[d + 1 :]
                     break
             continue
-        tag = m.group(5)
+        tag = g_open_tag
         if not tag:  # bare '<' that starts no markup
             add_text("<", lt, lt + 1)
             i = lt + 1
