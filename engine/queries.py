@@ -322,6 +322,79 @@ def _sql_running_totals():
     """
 
 
+def q_window_analytics(spark, sf_dir):
+    """Navigation + distribution window functions (lag/lead/ntile/rank/
+    dense_rank) over deterministic total orders — the per-host crawl-gap
+    and ranking analytics of the sizing report. One shuffle on user_id;
+    every order includes a unique tie-break so ranks are reproducible."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wv = W.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    wt = W.partitionBy("user_id").orderBy("event_type")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("event_id", 1).over(w).alias("prev_event"),
+        F.lead("event_id", 1).over(w).alias("next_event"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.rank().over(wv).alias("value_rank"),
+        F.dense_rank().over(wt).alias("type_rank"),
+    )
+
+
+def _sql_window_analytics():
+    return """
+    SELECT event_id, user_id,
+           lag(event_id, 1)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event,
+           lead(event_id, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event,
+           ntile(4)          OVER (PARTITION BY user_id ORDER BY ts, event_id) AS quartile,
+           rank()            OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS value_rank,
+           dense_rank()      OVER (PARTITION BY user_id ORDER BY event_type) AS type_rank
+    FROM events
+    """
+
+
+def q_stats_agg(spark, sf_dir):
+    """Statistical aggregate family: stddev/variance/correlation/covariance
+    plus exact interpolated percentiles (median, p90) — the distribution
+    summaries a corpus-quality dashboard reports per batch. Partial+final
+    combine like any hash agg; percentile is the only one needing a full
+    sort per group (fine for |groups| small; use approx_percentile at
+    unbounded cardinality). Rounded AFTER aggregation on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    # + 0.0 after round: IEEE negative zero (-0.0) stringifies differently
+    # from 0.0 and the engines can land on opposite signs of zero
+    return li.groupBy("l_returnflag").agg(
+        (F.round(F.stddev_samp("l_extendedprice"), 2) + 0.0).alias("sd_price"),
+        (F.round(F.var_samp("l_quantity"), 2) + 0.0).alias("var_qty"),
+        (F.round(F.corr("l_quantity", "l_extendedprice"), 4) + 0.0).alias(
+            "corr_qty_price"
+        ),
+        (F.round(F.covar_samp("l_discount", "l_tax"), 6) + 0.0).alias(
+            "covar_disc_tax"
+        ),
+        (F.round(F.percentile("l_extendedprice", 0.5), 2) + 0.0).alias(
+            "median_price"
+        ),
+        (F.round(F.percentile("l_extendedprice", 0.9), 2) + 0.0).alias(
+            "p90_price"
+        ),
+    )
+
+
+def _sql_stats_agg():
+    return """
+    SELECT l_returnflag,
+           round(stddev_samp(l_extendedprice), 2) + 0.0        AS sd_price,
+           round(var_samp(l_quantity), 2) + 0.0                AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 4) + 0.0   AS corr_qty_price,
+           round(covar_samp(l_discount, l_tax), 6) + 0.0       AS covar_disc_tax,
+           round(quantile_cont(l_extendedprice, 0.5), 2) + 0.0 AS median_price,
+           round(quantile_cont(l_extendedprice, 0.9), 2) + 0.0 AS p90_price
+    FROM lineitem GROUP BY l_returnflag
+    """
+
+
 def q_topk_hot_keys(spark, sf_dir):
     """Top-k hot hosts analog: heaviest users by event count. Total-order
     tie-break (count desc, user_id asc) keeps the limit deterministic.
@@ -1675,6 +1748,8 @@ _reg("semi_join", q_semi_join, _sql_semi_join())
 _reg("salted_skew_join", q_salted_skew_join, _sql_salted_skew_join())
 _reg("latest_crawl_dedup", q_latest_crawl_dedup, _sql_latest_crawl_dedup())
 _reg("running_totals", q_running_totals, _sql_running_totals())
+_reg("window_analytics", q_window_analytics, _sql_window_analytics())
+_reg("stats_agg", q_stats_agg, _sql_stats_agg())
 _reg("topk_hot_keys", q_topk_hot_keys, _sql_topk_hot_keys())
 _reg("set_ops", q_set_ops, _sql_set_ops())
 _reg("string_funcs", q_string_funcs, _sql_string_funcs())

@@ -7,6 +7,8 @@ means a full pre-scan and schema drift between partitions).
 
 Formats:
   parquet  — the native layout (binary html intact)
+  orc      — columnar alternative (binary intact; warehouses standardized
+             on ORC ingest it natively)
   json     — html carried base64 (JSON has no binary type); decoded on read
   csv      — ditto; for small interchange/debug extracts only
 
@@ -39,6 +41,17 @@ _COLS = ["url", "warc_ts", "html", "text", "lang"]
 
 def read_pages_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(PAGES_SCHEMA).parquet(path)
+
+
+def read_pages_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC ingest: columnar with a real binary type, so html round-trips
+    byte-exact like parquet (predicate pushdown + column pruning apply)."""
+    return spark.read.schema(PAGES_SCHEMA).orc(path)
+
+
+def write_pages_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Columnar ORC sink — a scale path like parquet."""
+    df.select(*_COLS).write.mode(mode).orc(path)
 
 
 def read_pages_json(spark: SparkSession, path: str) -> DataFrame:

@@ -12,8 +12,10 @@ from engine.sources import (
     export_pages_json,
     read_pages_csv,
     read_pages_json,
+    read_pages_orc,
     read_pages_parquet,
     write_pages,
+    write_pages_orc,
 )
 from engine.synth import generate_pages
 
@@ -38,6 +40,13 @@ def test_parquet_roundtrip(spark, pages, tmp_path):
     p = str(tmp_path / "pq")
     write_pages(pages, p)
     back = read_pages_parquet(spark, p)
+    assert _fingerprint(back) == _fingerprint(pages)
+
+
+def test_orc_roundtrip_binary_exact(spark, pages, tmp_path):
+    p = str(tmp_path / "orc")
+    write_pages_orc(pages, p)
+    back = read_pages_orc(spark, p)
     assert _fingerprint(back) == _fingerprint(pages)
 
 
