@@ -55,3 +55,73 @@ def test_pricing_scan_pushes_date_filter(spark):
 def test_topk_avoids_global_sort(spark):
     plan = _plan(q_topk_hot_keys(spark, SF))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_blocked_neardup_plan_shape(spark):
+    """Exact near-dup scale path: block-pair list broadcasts, ONE data
+    shuffle (the groupBy on block pairs), one grouped-Arrow kernel, never a
+    cartesian product."""
+    from engine.queries import q_embedding_neardup_pairs_fast
+
+    plan = _plan(q_embedding_neardup_pairs_fast(spark, SF))
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lsh_neardup_plan_shape(spark):
+    """Sub-quadratic near-dup path: the candidate join is a real hash/merge
+    join on (band, code) — no cartesian, no nested loop; verification is
+    Arrow-batched."""
+    from engine.queries import q_embedding_neardup_pairs_lsh
+
+    plan = _plan(q_embedding_neardup_pairs_lsh(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_token_correction_stats_map_only_jvm(spark):
+    """The JVM CASE-chain correction path: pure expressions — no Python
+    operator, no shuffle."""
+    from engine.queries import q_token_correction_stats
+
+    plan = _plan(q_token_correction_stats(spark, SF))
+    assert "Python" not in plan
+    assert "Exchange" not in plan
+
+
+def test_minhash_explode_first_plan(spark):
+    """The scalar minhash query must explode the cheap k-sequence (a
+    constant-folded literal array), NOT the computed signature — the
+    generator line carrying the fold would mean the optimizer re-inlined
+    the 16x shingle recompute (the 55 s regression)."""
+    from engine.queries import q_minhash_signatures
+
+    plan = _plan(q_minhash_signatures(spark, SF))
+    gen_lines = [ln for ln in plan.splitlines() if "Generate" in ln]
+    assert gen_lines, plan
+    assert all("xxhash64" not in ln for ln in gen_lines), gen_lines
+
+
+def test_window_analytics_single_shuffle(spark):
+    """All five window functions share the user_id partitioning → exactly
+    one hash exchange feeds every Sort+Window."""
+    from engine.queries import q_window_analytics
+
+    plan = _plan(q_window_analytics(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_dedup_exact_shuffles_digest_not_text(spark):
+    """The dedup shuffle key is the sha2 digest (bounded width), computed
+    BEFORE the exchange (partial agg side)."""
+    from engine.queries import q_dedup_exact
+
+    plan = _plan(q_dedup_exact(spark, SF))
+    assert "sha2" in plan
+    # map-side partial agg computes the digest grouping expression, so the
+    # exchange partitions on it — never on the raw text column
+    assert "partial_min" in plan
+    assert "hashpartitioning(text#" not in plan
