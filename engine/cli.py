@@ -7,6 +7,9 @@ Verbs map 1:1 to the reference controller's:
   run      → process pending partitions in committed waves  (emop_run    [U])
   retry    → re-extract failed urls (MERGE-emulated)        (retry semantics)
   rollup   → per-run/partition metrics rollup               (emop_upload [U])
+  compact  → rewrite a completed run's output at target file size
+             (small-files table maintenance; no reference analog — the
+             reference's payloads are single files by construction)
   export   → publish a completed run to a destination path   (emop_transfer [U])
   synth    → write a deterministic pages corpus (test/bench input)
 
@@ -77,6 +80,11 @@ def main(argv: list[str] | None = None) -> int:
     up = sub.add_parser("rollup")
     up.add_argument("--runs-root", required=True)
     up.add_argument("--run-id", required=True)
+
+    cp = sub.add_parser("compact")
+    cp.add_argument("--runs-root", required=True)
+    cp.add_argument("--run-id", required=True)
+    cp.add_argument("--target-file-mb", type=int, default=128)
 
     xp = sub.add_parser("export")
     xp.add_argument("--runs-root", required=True)
@@ -150,6 +158,17 @@ def main(argv: list[str] | None = None) -> int:
     elif a.verb == "export":
         m = RunManifest.load(a.runs_root, a.run_id)
         print(json.dumps(export_run(spark, m, a.dest, fmt=a.format)))
+    elif a.verb == "compact":
+        from engine.jobs.extract_job import compact_run
+
+        m = RunManifest.load(a.runs_root, a.run_id)
+        print(
+            json.dumps(
+                compact_run(
+                    spark, m, target_file_bytes=a.target_file_mb << 20
+                )
+            )
+        )
     elif a.verb == "rollup":
         m = RunManifest.load(a.runs_root, a.run_id)
         rows = rollup_metrics(spark, m).collect()

@@ -433,6 +433,84 @@ def export_run(
     return {"run_id": manifest.run_id, "dest": dest, "format": fmt, "rows": n}
 
 
+def compact_run(
+    spark: SparkSession,
+    manifest: RunManifest,
+    target_file_bytes: int = 128 << 20,
+) -> dict:
+    """Small-files compaction — the table-maintenance op wave-commits make
+    necessary at scale: every wave's tasks append files into the partition
+    dirs they touch, so a 10^6-partition run accumulates O(waves x tasks)
+    small files that wreck downstream scan planning. Rewrites the extracted
+    table with ~ceil(partition_bytes / target) files per partition:
+
+      file_no = pmod(xxhash64(url), files_for(partition))   (content-keyed,
+      deterministic) → repartition(total_files, partition_id, file_no) →
+      one writer task per (partition, file) group.
+
+    Sizing comes from the lineage byte counts (extracted-text bytes — a
+    proxy for file bytes; conservative by the parquet compression factor).
+    Publication swaps directories (write tmp → rename away old → rename
+    tmp in); the instant between the two renames is the same
+    non-transactional hole the manifest docstring declares — an Iceberg
+    catalog would close it with a snapshot commit. Refuses incomplete runs
+    (a pending wave would write into the swapped-away dir)."""
+    import math
+    import os
+    import shutil
+
+    if not manifest.is_complete():
+        raise RuntimeError(
+            f"run {manifest.run_id} has pending partitions — compact only "
+            "completed runs"
+        )
+    sizes = {
+        int(r["partition_id"]): int(r["b"])
+        for r in read_lineage(spark, manifest)
+        .where(F.col("stage") == "extract")
+        .groupBy("partition_id")
+        .agg(F.sum("byte_count").alias("b"))
+        .collect()
+    }
+    files_for = {
+        pid: max(1, math.ceil(b / target_file_bytes)) for pid, b in sizes.items()
+    }
+    total_files = sum(files_for.values())
+    out = spark.read.parquet(manifest.extracted_path)
+    n_before = len(out.inputFiles())
+    # sizing table rides a broadcast join (a literal map would bloat the
+    # plan at 10^6 partitions)
+    fmap = spark.createDataFrame(
+        [(pid, n) for pid, n in sorted(files_for.items())],
+        "partition_id int, n_files int",
+    )
+    keyed = out.join(F.broadcast(fmap), "partition_id", "left").withColumn(
+        "file_no",
+        F.pmod(F.xxhash64("url"), F.coalesce(F.col("n_files"), F.lit(1))),
+    ).drop("n_files")
+    tmp = manifest.extracted_path + ".compact_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        keyed.repartition(max(total_files, 1), "partition_id", "file_no")
+        .drop("file_no")
+        .write.mode("overwrite")
+        .partitionBy("partition_id")
+        .parquet(tmp)
+    )
+    bak = manifest.extracted_path + ".pre_compact"
+    shutil.rmtree(bak, ignore_errors=True)
+    os.rename(manifest.extracted_path, bak)
+    os.rename(tmp, manifest.extracted_path)
+    shutil.rmtree(bak)
+    n_after = len(spark.read.parquet(manifest.extracted_path).inputFiles())
+    return {
+        "run_id": manifest.run_id,
+        "files_before": n_before,
+        "files_after": n_after,
+        "target_file_bytes": target_file_bytes,
+    }
+
+
 def rollup_hosts(
     spark: SparkSession,
     manifest: RunManifest,

@@ -174,6 +174,39 @@ def test_export_completed_run_only(spark, pages, tmp_path):
     assert res["rows"] == pages.select("url").distinct().count()
 
 
+def test_compact_run_reduces_files_preserves_rows(spark, pages, tmp_path):
+    """Compaction: fewer files, identical committed rows, incomplete runs
+    refused, partition layout preserved."""
+    from engine.jobs.extract_job import compact_run
+
+    root = str(tmp_path / "runs")
+    man = enqueue(spark, pages, root, min_partitions=12, run_id="compact-test")
+    run_extract_job(spark, pages, man, wave_size=3)
+    before = read_extracted(spark, man)
+    before_fp = {
+        (r["url"], r["n_chars"], r["status"]) for r in before.collect()
+    }
+    res = compact_run(spark, man, target_file_bytes=1 << 30)
+    assert res["files_after"] < res["files_before"]
+    assert res["files_after"] <= 12  # ~one file per partition at this size
+    after = read_extracted(spark, man)
+    assert {
+        (r["url"], r["n_chars"], r["status"]) for r in after.collect()
+    } == before_fp
+    # partition dirs survive (read_extracted's committed filter still prunes)
+    import os
+
+    assert any(
+        d.startswith("partition_id=")
+        for d in os.listdir(man.extracted_path)
+    )
+    # incomplete runs refused
+    man2 = enqueue(spark, pages, root, min_partitions=12, run_id="compact-inc")
+    run_extract_job(spark, pages, man2, wave_size=3, max_waves=1)
+    with pytest.raises(RuntimeError):
+        compact_run(spark, man2)
+
+
 def test_host_salting_spreads_hot_hosts(spark, pages):
     """The Zipf-head host must spread across >1 partition under the salted
     layout, and across <= n_salt partitions (bounded skew)."""
