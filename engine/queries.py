@@ -1216,6 +1216,69 @@ def q_ann_lsh_bucketed(spark, sf_dir):
     )
 
 
+_IVF_K = 16
+_IVF_NPROBE = 4
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN — the second scale-path index class next to sign-LSH
+    (q_ann_lsh_bucketed): a coarse k-means quantizer (pyspark.ml KMeans,
+    fixed seed) assigns every vector to one of k cells; the query probes
+    the nprobe cells whose centroids are nearest, and exact cosine ranks
+    only those candidates. At 10^9 vectors: the quantizer trains ONCE on a
+    sample (offline index build), assignment is a map-only ml transform,
+    the cell id becomes a partition key, and each query touches
+    ~nprobe/k of the data. Non-oracle (index structure is
+    engine-specific); recall vs brute force and sim-exactness are pinned
+    in tests/test_ann.py."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = _t(spark, sf_dir, "embeddings")
+    ve = e.select(
+        "vec_id",
+        "embedding",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias(
+            "features"
+        ),
+    )
+    model = KMeans(k=_IVF_K, seed=7).fit(ve.select("features"))
+    assigned = model.transform(ve).select("vec_id", "embedding", "prediction")
+    centers = np.array(model.clusterCenters())
+    qrow = (
+        assigned.where(F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()[0]
+    )
+    q = np.array(qrow["embedding"], dtype=np.float64)
+    d2 = ((centers - q) ** 2).sum(axis=1)
+    probe = [int(c) for c in np.argsort(d2)[:_IVF_NPROBE]]
+    qe = F.array(*[F.lit(float(x)) for x in q])
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), qe, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm2 = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    qnorm = float(np.sqrt((q * q).sum()))
+    return (
+        assigned.where(
+            F.col("prediction").isin(probe) & (F.col("vec_id") != 0)
+        )
+        .select(
+            "vec_id",
+            F.round(dot / (F.sqrt(norm2) * F.lit(qnorm)), 4).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
 def q_lang_id_heuristic(spark, sf_dir):
     """Language-ID heuristic: stopword-hit ratio over whitespace tokens.
     Pure built-ins (filter over split array) → JVM-side at scale."""
@@ -1772,6 +1835,7 @@ _reg(
 )
 _reg("ann_cosine_topk", q_ann_cosine_topk, _sql_ann_cosine_topk())
 _reg("ann_lsh_bucketed", q_ann_lsh_bucketed, None)
+_reg("ann_ivf", q_ann_ivf, None)
 _reg(
     "embedding_neardup_pairs",
     q_embedding_neardup_pairs,

