@@ -251,6 +251,14 @@ def run_extract_job(
         done_docs += sum(int(r["doc_count"]) for r in lin_rows)
         waves_run += 1
 
+    if manifest.is_complete():
+        # the staged copy exists only to make wave scans prunable — once
+        # every partition is committed it is dead weight (at 100 TB, a
+        # full second copy of the corpus)
+        import shutil
+
+        shutil.rmtree(manifest.staged_path, ignore_errors=True)
+
     return {
         "run_id": manifest.run_id,
         "waves_run": waves_run,
@@ -295,6 +303,10 @@ def read_extracted(spark: SparkSession, manifest: RunManifest) -> DataFrame:
             [], schema=EXTRACTED_DDL + ", partition_id int"
         )
     df = spark.read.parquet(manifest.extracted_path)
+    if len(committed) == manifest.state()["n_partitions"]:
+        # fully committed: skip the isin filter — at 10^6 partitions the
+        # predicate alone bloats the plan, and it would prune nothing
+        return df
     return df.where(F.col("partition_id").isin(committed))
 
 

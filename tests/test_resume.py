@@ -70,6 +70,10 @@ def test_kill_and_resume_no_reprocessing(spark, pages, tmp_path):
     r3 = run_extract_job(spark, pages, man2, wave_size=4)
     assert r3["waves_run"] == 0 and r3["docs_processed"] == 0
     assert read_lineage(spark, man2).count() == n
+    # the staged input copy is reclaimed once the run completes
+    import os
+
+    assert not os.path.exists(man2.staged_path)
 
 
 def test_lineage_doc_and_byte_counts(spark, pages, tmp_path):
