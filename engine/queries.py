@@ -492,9 +492,13 @@ def _sql_date_funcs():
 
 
 def q_json_funcs(spark, sf_dir):
-    """JSON family over events.props (the payload-JSON analog)."""
+    """JSON family over events.props (the payload-JSON analog). Malformed
+    JSON and non-numeric values degrade to NULL, never to a task failure:
+    get_json_object returns NULL on bad JSON and try_cast on bad numbers
+    (ANSI cast would kill the job on ONE bad payload row in 10^12 — found
+    by the oracle fuzz test). Oracle mirrors with json_valid + TRY_CAST."""
     ev = _t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
+    k = F.get_json_object("props", "$.k").try_cast("long")
     return (
         ev.select(k.alias("k"), "value")
         .groupBy("k")
@@ -504,7 +508,9 @@ def q_json_funcs(spark, sf_dir):
 
 def _sql_json_funcs():
     return """
-    SELECT CAST(props->>'$.k' AS BIGINT) AS k, count(*) AS n,
+    SELECT CASE WHEN props IS NOT NULL AND json_valid(props)
+                THEN TRY_CAST(props->>'$.k' AS BIGINT) END AS k,
+           count(*) AS n,
            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
     FROM events GROUP BY 1
     """
@@ -776,21 +782,25 @@ def q_json_roundtrip(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (
         ev.select("event_id", F.from_json("props", sample).alias("p"))
-        .select("event_id", F.col("p.k").cast("long").alias("k"))
+        .select("event_id", F.col("p.k").try_cast("long").alias("k"))
         .withColumn("rt", F.to_json(F.struct("k")))
         .select(
             "event_id",
             "k",
-            F.get_json_object("rt", "$.k").cast("long").alias("k_rt"),
+            F.get_json_object("rt", "$.k").try_cast("long").alias("k_rt"),
         )
     )
 
 
 def _sql_json_roundtrip():
+    # json_valid guard: DuckDB's ->> raises on malformed JSON where Spark's
+    # parsers degrade to NULL; TRY_CAST matches from_json's null-on-miscast
     return """
     SELECT event_id,
-           CAST(props->>'$.k' AS BIGINT) AS k,
-           CAST(props->>'$.k' AS BIGINT) AS k_rt
+           CASE WHEN props IS NOT NULL AND json_valid(props)
+                THEN TRY_CAST(props->>'$.k' AS BIGINT) END AS k,
+           CASE WHEN props IS NOT NULL AND json_valid(props)
+                THEN TRY_CAST(props->>'$.k' AS BIGINT) END AS k_rt
     FROM events
     """
 
@@ -1386,7 +1396,12 @@ def q_token_correction_stats(spark, sf_dir):
     from engine.correct import DEFAULT_DICT, corrected_tokens_expr
 
     d = _t(spark, sf_dir, "documents")
-    base = d.select("doc_id", "text", F.split(F.col("text"), " ").alias("toks"))
+    # null text ≡ empty text (declared semantics — engines disagree on how
+    # NULL propagates through list lambdas; found by the oracle fuzz test)
+    base = d.select(
+        "doc_id",
+        F.coalesce("text", F.lit("")).alias("text"),
+    ).select("doc_id", "text", F.split(F.col("text"), " ").alias("toks"))
     base = base.withColumn(
         "ctoks", corrected_tokens_expr(F.col("toks"), DEFAULT_DICT)
     )
@@ -1428,8 +1443,9 @@ def _sql_token_correction_stats():
     )
     return f"""
     WITH c AS (
-      SELECT doc_id, text, string_split(text, ' ') AS t,
-             list_transform(string_split(text, ' '),
+      SELECT doc_id, coalesce(text, '') AS text,
+             string_split(coalesce(text, ''), ' ') AS t,
+             list_transform(string_split(coalesce(text, ''), ' '),
                x -> CASE {case} ELSE x END) AS ct
       FROM documents)
     SELECT doc_id,

@@ -1,0 +1,123 @@
+"""Adversarial-input oracle parity: the sf-testdata is clean (no nulls, no
+malformed payloads, ≥10 tokens/doc), so it cannot catch engine-semantics
+divergences on degenerate rows — exactly where Spark-vs-DuckDB differ
+(NULL propagation through list lambdas, ANSI casts, malformed JSON).
+These corpora pin the declared degradation semantics: bad rows become
+NULLs, never task failures, and both engines agree value-exactly.
+
+Found-by-this-test (round 2): token_correction_stats NULL-text n_corr
+divergence; json_funcs ANSI-cast task kill on a non-numeric payload value;
+json_roundtrip DuckDB error on malformed JSON.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import duckdb
+import pytest
+
+from engine.queries import _ORACLE, _QUERIES
+from tests.oracle_harness import frame_fingerprint
+
+ADVERSARIAL_DOCS = [
+    (0, None, "en", "src0", 0),
+    (1, "", "en", "src0", 0),
+    (2, "   ", "en", "src1", 3),
+    (3, "héllo wörld héllo wörld naïve", "fr", "src0", 29),
+    (4, "中文 文本 中文 文本 测试", "zh", "src0", 12),
+    (5, "a", "en", "src1", 1),
+    (6, "tab\tand\nnewline mix  double  space", "en", "src0", 34),
+    (7, "émoji 🎉 and 🎉 again", "en", "src2", 20),
+    (8, "the of the and to in is for on with", "en", "src0", 35),
+    (9, "the of the and to in is for on with", "en", "src1", 35),
+]
+
+_TS = datetime.datetime(2024, 1, 1)
+ADVERSARIAL_EVENTS = [
+    (0, _TS, 1, "click", 1.5, '{"k": 1}'),
+    (1, _TS, 1, "view", -0.0, None),
+    (2, _TS, 2, "click", 0.005, "{}"),
+    (3, _TS, 2, "weird", 1e9, "not json"),
+    (4, _TS, 3, "click", -5.25, '{"k": null}'),
+    (5, _TS, 3, "view", 0.0, '{"k": "txt"}'),
+    (6, _TS, None, "click", None, '{"k": 2, "extra": true}'),
+    (7, _TS, 4, "purchase", 1e-9, '{"k": -9223372036854775808}'),
+]
+
+DOC_QUERIES = [
+    "string_funcs",
+    "token_count",
+    "lang_id_heuristic",
+    "quality_score",
+    "dedup_exact",
+    "training_set_selection",
+    "ngram_jaccard_pairs",
+    "token_correction_stats",
+    "rollup_doc_metrics",
+    "set_ops",
+]
+EVENT_QUERIES = [
+    "json_funcs",
+    "json_roundtrip",
+    "map_funcs",
+    "distinct_agg",
+    "date_funcs",
+    "time_window_agg",
+    "window_analytics",
+    "pivot_events",
+    "latest_crawl_dedup",
+    "topk_hot_keys",
+    "cube_events",
+    "running_totals",
+]
+
+
+def _compare(spark, sf_dir, table, names):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW {table} AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/{table}.parquet/*.parquet')"
+    )
+    bad = {}
+    for name in names:
+        sdf = _QUERIES[name](spark, sf_dir)
+        s = frame_fingerprint(sdf.columns, [tuple(r) for r in sdf.collect()])
+        cur = con.execute(_ORACLE[name])
+        d = frame_fingerprint(
+            [c[0] for c in cur.description], [tuple(r) for r in cur.fetchall()]
+        )
+        if s != d:
+            bad[name] = {"spark": s, "duckdb": d}
+    return bad
+
+
+@pytest.fixture(scope="module")
+def docs_dir(spark, tmp_path_factory):
+    sf = str(tmp_path_factory.mktemp("fuzz_docs"))
+    spark.createDataFrame(
+        ADVERSARIAL_DOCS,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    return sf
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    sf = str(tmp_path_factory.mktemp("fuzz_events"))
+    spark.createDataFrame(
+        ADVERSARIAL_EVENTS,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(f"{sf}/events.parquet")
+    return sf
+
+
+def test_documents_queries_survive_adversarial_rows(spark, docs_dir):
+    bad = _compare(spark, docs_dir, "documents", DOC_QUERIES)
+    assert not bad, bad
+
+
+def test_events_queries_survive_adversarial_rows(spark, events_dir):
+    bad = _compare(spark, events_dir, "events", EVENT_QUERIES)
+    assert not bad, bad
