@@ -696,12 +696,16 @@ def _sql_time_window_agg():
 
 
 def q_math_funcs(spark, sf_dir):
-    """Math family: round/floor/ceil/log/pow/pmod/greatest/least."""
+    """Math family: round/floor/ceil/log/pow/pmod/greatest/least. The log
+    is domain-guarded (NULL outside x>0) because the engines degrade
+    differently unguarded — Spark returns NULL, DuckDB raises (found by
+    the oracle fuzz probe on a negative price)."""
     li = _t(spark, sf_dir, "lineitem")
+    price1 = F.col("l_extendedprice") + 1
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(F.log(F.col("l_extendedprice") + 1), 4).alias("log_price"),
+        F.when(price1 > 0, F.round(F.log(price1), 4)).alias("log_price"),
         F.floor("l_quantity").cast("long").alias("qty_floor"),
         F.ceil(F.col("l_discount") * 10).cast("long").alias("disc_decile"),
         F.pmod(F.col("l_orderkey"), F.lit(7)).cast("long").alias("bucket7"),
@@ -713,7 +717,8 @@ def q_math_funcs(spark, sf_dir):
 def _sql_math_funcs():
     return """
     SELECT l_orderkey, l_linenumber,
-           round(ln(l_extendedprice + 1), 4) AS log_price,
+           CASE WHEN l_extendedprice + 1 > 0
+                THEN round(ln(l_extendedprice + 1), 4) END AS log_price,
            CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
            CAST(ceil(l_discount * 10) AS BIGINT) AS disc_decile,
            CAST(l_orderkey % 7 AS BIGINT) AS bucket7,

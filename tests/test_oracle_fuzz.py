@@ -45,6 +45,14 @@ ADVERSARIAL_EVENTS = [
     (7, _TS, 4, "purchase", 1e-9, '{"k": -9223372036854775808}'),
 ]
 
+ADVERSARIAL_LINEITEM = [
+    (1, 10, 100, 1, 5.0, 1000.0, 0.05, 0.02, "A", "F", _TS),
+    (2, 10, 100, 1, None, None, None, None, "N", "O", _TS),
+    (3, 11, 101, 2, 0.0, 0.0, 0.0, 0.0, "R", "F", None),
+    (4, 12, 102, 1, 1e8, 1e12, 1.0, 1.0, "A", "F", _TS),
+    (5, 13, 103, 1, -3.0, -50.5, 0.5, 0.5, "R", "O", _TS),
+]
+
 DOC_QUERIES = [
     "string_funcs",
     "token_count",
@@ -111,6 +119,29 @@ def events_dir(spark, tmp_path_factory):
         "value double, props string",
     ).coalesce(1).write.parquet(f"{sf}/events.parquet")
     return sf
+
+
+@pytest.fixture(scope="module")
+def lineitem_dir(spark, tmp_path_factory):
+    sf = str(tmp_path_factory.mktemp("fuzz_li"))
+    spark.createDataFrame(
+        ADVERSARIAL_LINEITEM,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).coalesce(1).write.parquet(f"{sf}/lineitem.parquet")
+    return sf
+
+
+def test_lineitem_queries_survive_adversarial_rows(spark, lineitem_dir):
+    bad = _compare(
+        spark,
+        lineitem_dir,
+        "lineitem",
+        ["pricing_summary", "math_funcs", "stats_agg"],
+    )
+    assert not bad, bad
 
 
 def test_documents_queries_survive_adversarial_rows(spark, docs_dir):
