@@ -879,13 +879,34 @@ def _sql_dedup_exact():
     """
 
 
+def _valid_embeddings(e: DataFrame) -> DataFrame:
+    """Declared domain of every embedding operator: non-null vectors with
+    positive norm. A null or all-zero embedding (a failed encoder run) has
+    no defined cosine — unfiltered it is an ANSI DIVIDE_BY_ZERO that kills
+    the whole job (found by the embeddings fuzz test). The filter is one
+    JVM fold, fused into the scan."""
+    norm2 = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.where(F.col("embedding").isNotNull() & (norm2 > 0))
+
+
+# the same predicate, verbatim, for every embedding oracle
+_SQL_VALID_EMB = (
+    "embedding IS NOT NULL AND "
+    "list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0"
+)
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     """Brute-force ANN baseline: cosine top-10 vs the vec_id=0 query vector.
     The query vector broadcasts (a scalar crossJoin of one row); each
     partition scores locally, TakeOrderedAndProject keeps k — the pattern
     that scales to 'one query vs 10^9 vectors'. IVF/LSH variant:
     q_lsh_bucketed_ann."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _valid_embeddings(_t(spark, sf_dir, "embeddings"))
     q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
     dot = F.aggregate(
         F.zip_with(
@@ -916,8 +937,9 @@ def q_ann_cosine_topk(spark, sf_dir):
 
 
 def _sql_ann_cosine_topk():
-    return """
-    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    return f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings
+               WHERE vec_id = 0 AND {_SQL_VALID_EMB})
     SELECT e.vec_id,
            round(list_sum(list_transform(list_zip(e.embedding, q.qe),
                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
@@ -926,7 +948,7 @@ def _sql_ann_cosine_topk():
                 * sqrt(list_sum(list_transform(q.qe,
                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
              4) AS sim
-    FROM embeddings e, q WHERE e.vec_id <> 0
+    FROM embeddings e, q WHERE e.vec_id <> 0 AND {_SQL_VALID_EMB}
     ORDER BY sim DESC, e.vec_id ASC LIMIT 10
     """
 
@@ -941,7 +963,7 @@ def q_embedding_neardup_pairs(spark, sf_dir):
     numpy) and q_embedding_neardup_pairs_lsh (sub-quadratic banded
     sign-LSH). Norms are precomputed per side (projection before the
     join), so the join condition touches only a dot product."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _valid_embeddings(_t(spark, sf_dir, "embeddings"))
     norm2 = F.aggregate(
         F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0),
@@ -972,12 +994,12 @@ def q_embedding_neardup_pairs(spark, sf_dir):
 
 
 def _sql_embedding_neardup_pairs():
-    return """
+    return f"""
     WITH v AS (
       SELECT vec_id, embedding,
              sqrt(list_sum(list_transform(embedding,
                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-      FROM embeddings)
+      FROM embeddings WHERE {_SQL_VALID_EMB})
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
@@ -1013,7 +1035,7 @@ def q_embedding_neardup_pairs_fast(spark, sf_dir):
     import pandas as pd
 
     G = _NEARDUP_BLOCKS
-    e = _t(spark, sf_dir, "embeddings").select(
+    e = _valid_embeddings(_t(spark, sf_dir, "embeddings")).select(
         "vec_id",
         "embedding",
         F.pmod(F.xxhash64("vec_id"), F.lit(G)).cast("int").alias("g"),
@@ -1089,7 +1111,9 @@ def _neardup_lsh_pairs(
     import numpy as np
     import pandas as pd
 
-    e = _t_spread(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = _valid_embeddings(
+        _t_spread(spark, sf_dir, "embeddings")
+    ).select("vec_id", "embedding")
     codes = []
     for band in range(bands):
         planes = _rand_planes(bits, seed=101 + band)
@@ -1195,7 +1219,7 @@ def q_ann_lsh_bucketed(spark, sf_dir):
     (1+bits)/2^bits of the data instead of all of it, and the in-bucket
     scan is the same brute-force kernel as q_ann_cosine_topk.
     Non-oracle (recall-vs-brute-force is pinned in tests/test_ann.py)."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _valid_embeddings(_t(spark, sf_dir, "embeddings"))
     planes = _lsh_planes()
     code = None
     for j, pl in enumerate(planes):
@@ -1250,7 +1274,7 @@ def q_ann_ivf(spark, sf_dir):
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _valid_embeddings(_t(spark, sf_dir, "embeddings"))
     ve = e.select(
         "vec_id",
         "embedding",

@@ -144,6 +144,67 @@ def test_lineitem_queries_survive_adversarial_rows(spark, lineitem_dir):
     assert not bad, bad
 
 
+def _adversarial_embeddings():
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(64)], i % 3) for i in range(20)
+    ]
+    rows += [
+        (20, [0.0] * 64, 0),  # zero vector: undefined cosine
+        (21, None, 1),  # failed encoder: null embedding
+        (22, [1.0] * 64, 2),
+        (23, [1.0] * 64, 2),  # exact dup pair (22, 23)
+    ]
+    return rows
+
+
+@pytest.fixture(scope="module")
+def emb_dir(spark, tmp_path_factory):
+    sf = str(tmp_path_factory.mktemp("fuzz_emb"))
+    spark.createDataFrame(
+        _adversarial_embeddings(),
+        "vec_id long, embedding array<double>, label int",
+    ).coalesce(1).write.parquet(f"{sf}/embeddings.parquet")
+    return sf
+
+
+def test_embedding_oracles_survive_zero_and_null_vectors(spark, emb_dir):
+    """Zero-norm / null embeddings are excluded by the declared operator
+    domain (unfiltered: ANSI DIVIDE_BY_ZERO kills the job); the oracle
+    pairs must agree after the same exclusion."""
+    bad = _compare(
+        spark,
+        emb_dir,
+        "embeddings",
+        ["array_funcs", "ann_cosine_topk", "embedding_neardup_pairs"],
+    )
+    assert not bad, bad
+
+
+def test_embedding_kernels_survive_zero_and_null_vectors(spark, emb_dir):
+    """Every no-oracle embedding kernel must run (no divide-by-zero, no
+    NaN cells) and the scale paths must still find the planted dup pair."""
+    from engine.queries import _QUERIES
+
+    for name in (
+        "ann_lsh_bucketed",
+        "ann_ivf",
+        "embedding_neardup_pairs_fast",
+        "embedding_neardup_pairs_lsh",
+    ):
+        out = _QUERIES[name](spark, emb_dir).collect()
+        assert all(
+            not (isinstance(v, float) and v != v) for r in out for v in r
+        ), name
+        if "pairs" in name:
+            assert (22, 23) in {(r["vec_a"], r["vec_b"]) for r in out}, name
+        excluded = {20, 21}
+        ids = {r[0] for r in out}
+        assert not (ids & excluded), name
+
+
 def test_documents_queries_survive_adversarial_rows(spark, docs_dir):
     bad = _compare(spark, docs_dir, "documents", DOC_QUERIES)
     assert not bad, bad
