@@ -45,6 +45,15 @@ ADVERSARIAL_EVENTS = [
     (7, _TS, 4, "purchase", 1e-9, '{"k": -9223372036854775808}'),
 ]
 
+_TS2 = datetime.datetime(2024, 1, 2)
+ADVERSARIAL_ORDERS = [
+    (1, 5, 100.0, _TS2),
+    (2, 5, None, _TS2),  # null price
+    (3, None, 50.0, _TS2),  # null join key
+    (4, 7, 0.0, None),  # null date
+    (5, 7, -10.0, _TS2),
+]
+
 ADVERSARIAL_LINEITEM = [
     (1, 10, 100, 1, 5.0, 1000.0, 0.05, 0.02, "A", "F", _TS),
     (2, 10, 100, 1, None, None, None, None, "N", "O", _TS),
@@ -212,4 +221,36 @@ def test_documents_queries_survive_adversarial_rows(spark, docs_dir):
 
 def test_events_queries_survive_adversarial_rows(spark, events_dir):
     bad = _compare(spark, events_dir, "events", EVENT_QUERIES)
+    assert not bad, bad
+
+
+def test_join_queries_survive_null_keys(spark, events_dir, tmp_path):
+    """Null join keys, null prices, null dates: the salted join, the as-of
+    union-window, and the decorrelated subquery must agree value-exactly
+    with the oracle (null keys never match in either engine)."""
+    import shutil
+
+    sf = str(tmp_path)
+    shutil.copytree(f"{events_dir}/events.parquet", f"{sf}/events.parquet")
+    spark.createDataFrame(
+        ADVERSARIAL_ORDERS,
+        "o_orderkey long, o_custkey long, o_totalprice double, "
+        "o_orderdate timestamp",
+    ).coalesce(1).write.parquet(f"{sf}/orders.parquet")
+    con = duckdb.connect()
+    for t in ("events", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf}/{t}.parquet/*.parquet')"
+        )
+    bad = {}
+    for name in ("salted_skew_join", "asof_join", "correlated_above_avg"):
+        sdf = _QUERIES[name](spark, sf)
+        s = frame_fingerprint(sdf.columns, [tuple(r) for r in sdf.collect()])
+        cur = con.execute(_ORACLE[name])
+        d = frame_fingerprint(
+            [c[0] for c in cur.description], [tuple(r) for r in cur.fetchall()]
+        )
+        if s != d:
+            bad[name] = {"spark": s, "duckdb": d}
     assert not bad, bad
