@@ -82,11 +82,17 @@ HEADLINE = [
     # scale-path kernels below, and runs only at oracle scale (sf0.01)
     "embedding_neardup_pairs_fast",
     "embedding_neardup_pairs_lsh",
+    "ann_ivf",
     "asof_join",
     "pivot_events",
     "training_set_selection",
     "token_count",
     "lang_id_heuristic",
+    "token_correction_stats",
+    "window_analytics",
+    "stats_agg",
+    "map_funcs",
+    "json_roundtrip",
 ]
 
 
