@@ -141,6 +141,11 @@ class _Elem:
     heading: bool
 
 
+# shared root state for an empty element stack (immutable by convention —
+# avoids one _Elem allocation per text run outside any element)
+_ROOT_ELEM = _Elem("", "", False, False, False, "", False)
+
+
 def _parse_attrs(raw: str) -> dict[str, str]:
     attrs: dict[str, str] = {}
     for m in _ATTR_RE.finditer(raw):
@@ -173,7 +178,7 @@ def tokenize_blocks(src: str) -> tuple[list[Block], int]:
     def state() -> _Elem:
         if stack:
             return stack[-1]
-        return _Elem("", "", False, False, False, "", False)
+        return _ROOT_ELEM
 
     def flush() -> None:
         nonlocal cur
@@ -206,10 +211,10 @@ def tokenize_blocks(src: str) -> tuple[list[Block], int]:
 
     while i < n:
         m = _MARKUP_RE.search(src, i)
-        lt = m.start() if m else -1
-        if lt == -1:
+        if m is None:
             add_text(src[i:], i, n)
             break
+        lt, me = m.span()  # one C call for both offsets
         if lt > i:
             add_text(src[i:lt], i, lt)
         # one C call for all five groups instead of up to four .group(n)
@@ -231,14 +236,17 @@ def tokenize_blocks(src: str) -> tuple[list[Block], int]:
                 i = lt + 1
                 continue
             tag = tag.lower()
-            close = src.find(">", m.end())
+            close = src.find(">", me)
             i = n if close == -1 else close + 1
             n_tags += 1
             if tag == "a":
                 link_depth = max(0, link_depth - 1)
                 continue
             if tag in _BLOCK_TAGS:
-                flush()
+                if cur is not None:  # inlined flush() (hot path)
+                    if cur.words:
+                        blocks.append(cur)
+                    cur = None
                 # browser-style implicit </a>: an anchor cannot span a
                 # closing block-level ancestor, so an unclosed <a> stops
                 # poisoning everything after the block instead of marking
@@ -260,11 +268,11 @@ def tokenize_blocks(src: str) -> tuple[list[Block], int]:
         # find tag end, honouring quoted attribute values. Fast path: C-level
         # find('>'); the char-by-char scan only runs when the attr segment
         # contains quotes (which may hide a '>').
-        j = src.find(">", m.end())
+        j = src.find(">", me)
         if j == -1:
             j = n
-        elif '"' in src[m.end() : j] or "'" in src[m.end() : j]:
-            j = m.end()
+        elif '"' in src[me:j] or "'" in src[me:j]:
+            j = me
             in_q = ""
             while j < n:
                 c = src[j]
@@ -276,13 +284,20 @@ def tokenize_blocks(src: str) -> tuple[list[Block], int]:
                 elif c == ">":
                     break
                 j += 1
-        raw_attrs = src[m.end() : j]
-        self_close = raw_attrs.rstrip().endswith("/")
+        raw_attrs = src[me:j]
+        # fast path: no trailing-whitespace rstrip unless the last char is ws
+        last = raw_attrs[-1:]
+        self_close = last == "/" or (
+            last.isspace() and raw_attrs.rstrip().endswith("/")
+        )
         i = j + 1 if j < n else n
         n_tags += 1
 
         if tag in _BLOCK_TAGS:
-            flush()
+            if cur is not None:  # inlined flush() (hot path)
+                if cur.words:
+                    blocks.append(cur)
+                cur = None
         if tag not in _HEAD_ONLY_TAGS and tag not in ("html", "head"):
             # implicit </head> on the first body-content tag (recovery)
             for d in range(len(stack) - 1, -1, -1):
