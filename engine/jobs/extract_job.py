@@ -55,6 +55,28 @@ from engine.schema import EXTRACTED_DDL
 
 DEFAULT_TARGET_PARTITION_BYTES = 64 << 20  # 64 MiB of raw html per partition
 
+_MASK40 = (1 << 40) - 1
+
+
+def _content_checksum(per_row_hash):
+    """Order-insensitive, partial-aggregatable content digest.
+
+    Two independent 40-bit lanes of the per-row hash are SUMmed (not
+    collected): commutative + associative → map-side combine works, the
+    aggregation buffer is constant-size, and the result is independent of
+    row order. 40-bit lanes keep the long sum overflow-free to ~2^23 rows
+    per partition (partitions are byte-bounded far below that). The naive
+    alternative — sort_array(collect_list(row_digest)) — buffers every row
+    of a partition in ONE aggregation state: a scale bug at 64 MiB+
+    partitions (round-2 fix; was the dominant lineage cost)."""
+    lane1 = F.sum(per_row_hash.bitwiseAND(F.lit(_MASK40)))
+    lane2 = F.sum(
+        F.shiftrightunsigned(per_row_hash, 20).bitwiseAND(F.lit(_MASK40))
+    )
+    return F.sha2(
+        F.concat_ws(":", F.count("*"), lane1, lane2), 256
+    )
+
 
 def plan_partitions(
     total_bytes: int,
@@ -166,18 +188,31 @@ def run_extract_job(
             "docs_processed": 0,
             "complete": True,
         }
-    staged = stage_pages(spark, pages, manifest)
+    # staging pays for itself only when MULTIPLE waves would otherwise
+    # each re-scan the corpus; a single-wave run reads everything exactly
+    # once either way, so it skips the staging write entirely
+    single_wave = len(pending) <= wave_size and (
+        max_waves is None or max_waves >= 1
+    )
+    if single_wave:
+        keyed = with_partition_id(pages, manifest.state()["n_partitions"])
+    else:
+        staged = stage_pages(spark, pages, manifest)
 
     for w0 in range(0, len(pending), wave_size):
         if max_waves is not None and waves_run >= max_waves:
             break
         wave = pending[w0 : w0 + wave_size]
         t0 = time.monotonic()
-        # partition_id is a partition DIRECTORY of the staged table → this
-        # filter prunes to the wave's files (pinned by the inputFiles test)
-        batch = spark.read.parquet(staged).where(
-            F.col("partition_id").isin(wave)
-        )
+        if single_wave:
+            batch = keyed.where(F.col("partition_id").isin(wave))
+        else:
+            # partition_id is a partition DIRECTORY of the staged table →
+            # this filter prunes to the wave's files (pinned by the
+            # inputFiles test)
+            batch = spark.read.parquet(staged).where(
+                F.col("partition_id").isin(wave)
+            )
         extracted = batch.select("url", "html", "partition_id").mapInPandas(
             _extract_with_pid, schema=EXTRACTED_DDL + ", partition_id int"
         )
@@ -197,32 +232,15 @@ def run_extract_job(
             F.col("partition_id").isin(wave)
         )
         wall_ms = int((time.monotonic() - t0) * 1000)
+        row_hash = F.xxhash64(
+            F.col("url"), F.coalesce(F.col("text"), F.lit(""))
+        )
         lin_rows = (
             out.groupBy("partition_id")
             .agg(
                 F.count("*").alias("doc_count"),
                 F.sum(F.coalesce(F.col("n_chars"), F.lit(0))).alias("byte_count"),
-                F.sha2(
-                    F.concat_ws(
-                        "|",
-                        F.sort_array(
-                            F.collect_list(
-                                F.concat_ws(
-                                    ":",
-                                    F.col("url"),
-                                    F.sha2(
-                                        F.encode(
-                                            F.coalesce(F.col("text"), F.lit("")),
-                                            "UTF-8",
-                                        ),
-                                        256,
-                                    ),
-                                )
-                            )
-                        ),
-                    ),
-                    256,
-                ).alias("checksum"),
+                _content_checksum(row_hash).alias("checksum"),
             )
             .collect()
         )
@@ -358,26 +376,15 @@ def retry_failed(
     # only, not the accumulated retry table
     wall_ms = int((time.monotonic() - t0) * 1000)
     out = spark.read.parquet(retry_path).where(F.col("attempt") == attempt)
+    retry_hash = F.xxhash64(
+        F.col("url"), F.coalesce(F.col("status"), F.lit(""))
+    )
     lineage = (
         out.groupBy("partition_id")
         .agg(
             F.count("*").alias("doc_count"),
             F.sum(F.coalesce(F.col("n_chars"), F.lit(0))).alias("byte_count"),
-            F.sha2(
-                F.concat_ws(
-                    "|",
-                    F.sort_array(
-                        F.collect_list(
-                            F.concat_ws(
-                                ":",
-                                F.col("url"),
-                                F.coalesce(F.col("status"), F.lit("")),
-                            )
-                        )
-                    ),
-                ),
-                256,
-            ).alias("checksum"),
+            _content_checksum(retry_hash).alias("checksum"),
         )
         .select(
             F.lit(manifest.run_id).alias("run_id"),
