@@ -90,7 +90,9 @@ def main(argv: list[str] | None = None) -> int:
     xp.add_argument("--runs-root", required=True)
     xp.add_argument("--run-id", required=True)
     xp.add_argument("--dest", required=True)
-    xp.add_argument("--format", default="parquet", choices=["parquet", "json"])
+    xp.add_argument(
+        "--format", default="parquet", choices=["parquet", "orc", "json"]
+    )
 
     a = p.parse_args(argv)
     spark = _spark()

@@ -38,10 +38,14 @@ from dataclasses import dataclass, field
 
 # 1.1.0: malformed-anchor handling — self-closing <a/> no longer leaks
 # link_depth, and an unclosed <a> closes implicitly at the next block-level
-# close (browser-style) instead of marking the document tail as anchor
-# text. Output on the frozen golden corpus is byte-identical to 1.0.0
-# (verified doc-by-doc over all 2000 corpus docs at the bump).
-EXTRACTOR_VERSION = "1.1.0"
+# close instead of marking the document tail as anchor text.
+# 1.2.0: depth-tracked anchors — an anchor now closes implicitly only when
+# the element stack pops BELOW its opening depth, so the valid HTML5 card
+# pattern <a><div>…</div> tail</a> keeps its tail as anchor text while an
+# unclosed <a> still cannot leak past its containing element's close.
+# Output on the frozen golden corpus is byte-identical to 1.0.0 at both
+# bumps (verified doc-by-doc over all 2000 corpus docs).
+EXTRACTOR_VERSION = "1.2.0"
 
 # --------------------------------------------------------------------------
 # HTML tokenizer
@@ -171,7 +175,12 @@ def tokenize_blocks(src: str) -> tuple[list[Block], int]:
     stack: list[_Elem] = []
     # per-parent same-tag sibling counters for node paths like div[2]/p[1]
     child_counts: list[dict[str, int]] = [{}]
-    link_depth = 0
+    # open anchors, each recorded as the element-stack depth at its <a>:
+    # an anchor survives closes of elements opened INSIDE it (the HTML5
+    # card pattern <a><div>…</div> more</a>) but closes implicitly when
+    # the stack pops BELOW its depth (an unclosed <a> cannot leak past the
+    # close of the element that contained it)
+    anchor_opens: list[int] = []
     cur: Block | None = None
     low: str | None = None
 
@@ -205,7 +214,7 @@ def tokenize_blocks(src: str) -> tuple[list[Block], int]:
             cur.heading = st.heading
         cur.words.extend(words)
         cur.n_words += len(words)
-        if link_depth > 0:
+        if anchor_opens:
             cur.n_anchor_words += len(words)
         cur.end = end
 
@@ -240,24 +249,26 @@ def tokenize_blocks(src: str) -> tuple[list[Block], int]:
             i = n if close == -1 else close + 1
             n_tags += 1
             if tag == "a":
-                link_depth = max(0, link_depth - 1)
+                if anchor_opens:
+                    anchor_opens.pop()
                 continue
             if tag in _BLOCK_TAGS:
                 if cur is not None:  # inlined flush() (hot path)
                     if cur.words:
                         blocks.append(cur)
                     cur = None
-                # browser-style implicit </a>: an anchor cannot span a
-                # closing block-level ancestor, so an unclosed <a> stops
-                # poisoning everything after the block instead of marking
-                # the rest of the document as anchor text
-                link_depth = 0
             # pop to nearest matching open tag (tolerates mis-nesting)
             for d in range(len(stack) - 1, -1, -1):
                 if stack[d].tag == tag:
                     del stack[d:]
                     del child_counts[d + 1 :]
                     break
+            # implicit </a>: any anchor opened at a depth the pop removed
+            # is dead (an unclosed <a> must not poison content after its
+            # containing element); anchors opened ABOVE the popped depth —
+            # the card pattern <a><div>…</div> tail</a> — stay open
+            while anchor_opens and anchor_opens[-1] > len(stack):
+                anchor_opens.pop()
             continue
         tag = g_open_tag
         if not tag:  # bare '<' that starts no markup
@@ -304,14 +315,16 @@ def tokenize_blocks(src: str) -> tuple[list[Block], int]:
                 if stack[d].tag == "head":
                     del stack[d:]
                     del child_counts[d + 1 :]
+                    while anchor_opens and anchor_opens[-1] > len(stack):
+                        anchor_opens.pop()
                     break
-        # void/self-closing check must precede the anchor increment: a
-        # self-closing <a/> has no matching </a>, so counting it would leak
-        # link_depth and classify the whole document tail as anchor text
+        # void/self-closing check must precede the anchor-open record: a
+        # self-closing <a/> has no matching </a>, so recording it would
+        # leak an open anchor and classify the document tail as anchor text
         if tag in _VOID_TAGS or self_close:
             continue
         if tag == "a":
-            link_depth += 1
+            anchor_opens.append(len(stack))
             continue
         if tag in _RAWTEXT_TAGS:
             # skip raw content up to the matching close tag (case-insensitive)

@@ -178,10 +178,17 @@ def run_extract_job(
     `max_waves` exists for the resume test (simulates a mid-run kill).
     Returns summary counters.
     """
+    import shutil
+
     pending = manifest.pending_partitions()
     done_docs = 0
     waves_run = 0
     if not pending:
+        # already complete — still reclaim the staged copy here: a crash
+        # between the final wave's commit and its cleanup would otherwise
+        # leak the staged corpus forever (no later call reached the
+        # end-of-loop cleanup)
+        shutil.rmtree(manifest.staged_path, ignore_errors=True)
         return {
             "run_id": manifest.run_id,
             "waves_run": 0,
@@ -273,8 +280,6 @@ def run_extract_job(
         # the staged copy exists only to make wave scans prunable — once
         # every partition is committed it is dead weight (at 100 TB, a
         # full second copy of the corpus)
-        import shutil
-
         shutil.rmtree(manifest.staged_path, ignore_errors=True)
 
     return {
@@ -444,6 +449,8 @@ def export_run(
     writer = cur.write.mode("overwrite")
     if fmt == "parquet":
         writer.parquet(dest)
+    elif fmt == "orc":
+        writer.orc(dest)
     elif fmt == "json":
         cur.drop("spans").write.mode("overwrite").json(dest)
     else:
@@ -548,12 +555,17 @@ def rollup_hosts(
     primary invariant."""
     out = read_extracted(spark, manifest)
     if golden is not None:
+        # drift is measured ONLY where a golden row exists: a url missing
+        # from a partial golden table stays NULL (excluded from the avg)
+        # rather than contributing levenshtein(text, '') — which would
+        # measure golden coverage, not extraction accuracy
         out = out.join(F.broadcast(golden), "url", "left").withColumn(
             "lev_vs_golden",
-            F.levenshtein(
-                F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 200),
-                F.substring(
-                    F.coalesce(F.col("expected_text"), F.lit("")), 1, 200
+            F.when(
+                F.col("expected_text").isNotNull(),
+                F.levenshtein(
+                    F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 200),
+                    F.substring(F.col("expected_text"), 1, 200),
                 ),
             ),
         )

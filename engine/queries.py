@@ -314,7 +314,8 @@ def _sql_running_totals():
     return """
     SELECT event_id, user_id,
            CAST(sum(CAST(round(value * 100) AS BIGINT))
-             OVER (PARTITION BY user_id ORDER BY ts, event_id
+             OVER (PARTITION BY user_id
+                   ORDER BY ts NULLS FIRST, event_id NULLS FIRST
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              AS BIGINT)
              AS running_cents
@@ -343,13 +344,16 @@ def q_window_analytics(spark, sf_dir):
 
 
 def _sql_window_analytics():
+    # NULLS FIRST on every ASC key: Spark's ASC default is nulls-first,
+    # DuckDB's is nulls-last — a NULL ts/event_type silently reorders the
+    # whole partition otherwise. DESC defaults (nulls last) already agree.
     return """
     SELECT event_id, user_id,
-           lag(event_id, 1)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event,
-           lead(event_id, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event,
-           ntile(4)          OVER (PARTITION BY user_id ORDER BY ts, event_id) AS quartile,
-           rank()            OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS value_rank,
-           dense_rank()      OVER (PARTITION BY user_id ORDER BY event_type) AS type_rank
+           lag(event_id, 1)  OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS prev_event,
+           lead(event_id, 1) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS next_event,
+           ntile(4)          OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS quartile,
+           rank()            OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC NULLS FIRST) AS value_rank,
+           dense_rank()      OVER (PARTITION BY user_id ORDER BY event_type NULLS FIRST) AS type_rank
     FROM events
     """
 
@@ -540,10 +544,15 @@ def q_array_funcs(spark, sf_dir):
 
 
 def _sql_array_funcs():
+    # CASE guard: a NULL element nulls Spark's whole fold; DuckDB list_sum
+    # would silently skip it — propagate NULL explicitly to match
     return """
     SELECT vec_id, len(embedding) AS dim,
-           round(list_sum(list_transform(embedding,
-                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS norm2,
+           round(CASE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0
+                      THEN NULL
+                      ELSE list_sum(list_transform(embedding,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                 END, 4) AS norm2,
            label
     FROM embeddings
     """
@@ -600,7 +609,8 @@ def _sql_asof_join():
     SELECT o_orderkey, uid AS user_id,
            last_value(event_id IGNORE NULLS) OVER (
              PARTITION BY uid
-             ORDER BY ts, kind, COALESCE(event_id, 4611686018427387904)
+             ORDER BY ts NULLS FIRST, kind NULLS FIRST,
+                      COALESCE(event_id, 4611686018427387904) NULLS FIRST
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_event
     FROM u QUALIFY o_orderkey IS NOT NULL
     """
@@ -677,7 +687,9 @@ def q_approx_distinct(spark, sf_dir):
 def q_time_window_agg(spark, sf_dir):
     """Tumbling batch window (F.window, the warc_ts '1 day' batch-cut of
     SURVEY.md §3.3) — aligned tumbling windows equal date_trunc buckets, so
-    the oracle expresses the same cut portably."""
+    the oracle expresses the same cut portably. A NULL timestamp belongs to
+    no window: F.window drops the row (Spark semantics); the oracle filters
+    ts IS NOT NULL to declare the same."""
     ev = _t(spark, sf_dir, "events")
     w = F.window("ts", "1 day")
     return (
@@ -697,7 +709,7 @@ def _sql_time_window_agg():
     SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS win_start_epoch,
            event_type, count(*) AS n,
            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
-    FROM events GROUP BY 1, 2
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     """
 
 
@@ -899,9 +911,13 @@ def _valid_embeddings(e: DataFrame) -> DataFrame:
     return e.where(F.col("embedding").isNotNull() & (norm2 > 0))
 
 
-# the same predicate, verbatim, for every embedding oracle
+# the matching predicate for every embedding oracle. NOT verbatim: Spark's
+# fold propagates a NULL ELEMENT to a NULL norm (row filtered), while
+# DuckDB's list_sum silently skips NULL elements — so the SQL must exclude
+# null-element vectors explicitly to agree with the Spark semantics.
 _SQL_VALID_EMB = (
     "embedding IS NOT NULL AND "
+    "len(list_filter(embedding, x -> x IS NULL)) = 0 AND "
     "list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0"
 )
 
@@ -1234,7 +1250,13 @@ def q_ann_lsh_bucketed(spark, sf_dir):
         )
         code = bit if code is None else code + bit
     coded = e.withColumn("code", code)
-    qrow = coded.where(F.col("vec_id") == 0).select("embedding", "code").collect()[0]
+    qrows = coded.where(F.col("vec_id") == 0).select("embedding", "code").collect()
+    if not qrows:
+        # the designated query vector is absent/null/zero-norm: degrade to
+        # an empty result (same contract as every other operator — bad
+        # rows never become task failures)
+        return spark.createDataFrame([], "vec_id long, sim double")
+    qrow = qrows[0]
     probe = [qrow["code"]] + [qrow["code"] ^ (1 << j) for j in range(_LSH_BITS)]
     qe = F.array(*[F.lit(float(x)) for x in qrow["embedding"]])
     dot = F.aggregate(
@@ -1263,6 +1285,7 @@ def q_ann_lsh_bucketed(spark, sf_dir):
 
 _IVF_K = 16
 _IVF_NPROBE = 4
+_IVF_TRAIN_CAP = 100_000
 # (applicationId, sf_dir) → (model, centers): the IVF quantizer is an
 # OFFLINE index build — training it once per session per table is the
 # honest cost model (a deployment trains on a sample and reuses the
@@ -1290,22 +1313,39 @@ def q_ann_ivf(spark, sf_dir):
     ve = e.select(
         "vec_id",
         "embedding",
-        array_to_vector(F.col("embedding").cast("array<double>")).alias(
-            "features"
-        ),
+        # null elements are excluded by _valid_embeddings, but the fused
+        # stage can evaluate this projection before the filter — coalesce
+        # shields array_to_vector's non-nullable element assert
+        array_to_vector(
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.coalesce(x, F.lit(0.0)),
+            )
+        ).alias("features"),
     )
     cache_key = (spark.sparkContext.applicationId, sf_dir)
     if cache_key not in _IVF_CACHE:
-        model = KMeans(k=_IVF_K, seed=7).fit(ve.select("features"))
+        # train the quantizer on a BOUNDED sample — a 16-cell codebook
+        # saturates long before 10^5 points, so the build cost is constant
+        # in corpus size (matching the offline-index cost model above)
+        train = ve.select("features").limit(_IVF_TRAIN_CAP).cache()
+        n_train = train.count()
+        if n_train == 0:
+            return spark.createDataFrame([], "vec_id long, sim double")
+        # k must not exceed the training-point count (tiny tables)
+        k = max(1, min(_IVF_K, n_train))
+        model = KMeans(k=k, seed=7).fit(train)
+        train.unpersist()
         _IVF_CACHE[cache_key] = (model, np.array(model.clusterCenters()))
     model, centers = _IVF_CACHE[cache_key]
     assigned = model.transform(ve).select("vec_id", "embedding", "prediction")
-    qrow = (
-        assigned.where(F.col("vec_id") == 0)
-        .select("embedding")
-        .collect()[0]
+    qrows = (
+        assigned.where(F.col("vec_id") == 0).select("embedding").collect()
     )
-    q = np.array(qrow["embedding"], dtype=np.float64)
+    if not qrows:
+        # query vector absent/invalid → empty result, not an IndexError
+        return spark.createDataFrame([], "vec_id long, sim double")
+    q = np.array(qrows[0]["embedding"], dtype=np.float64)
     d2 = ((centers - q) ** 2).sum(axis=1)
     probe = [int(c) for c in np.argsort(d2)[:_IVF_NPROBE]]
     qe = F.array(*[F.lit(float(x)) for x in q])
@@ -1536,25 +1576,7 @@ def q_ngram_jaccard_pairs(
     toks = F.split(F.col("text"), " ")
     sh = d.select(
         "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(
-                        F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0))
-                    ),
-                    # try_element_at: out-of-range → NULL (matches DuckDB's
-                    # t[i] semantics) instead of ANSI INVALID_ARRAY_INDEX on
-                    # sub-3-token documents; concat_ws skips NULLs in both
-                    # engines, so partial shingles agree with the oracle
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.try_element_at(toks, i + 1),
-                        F.try_element_at(toks, i + 2),
-                        F.try_element_at(toks, i + 3),
-                    ),
-                )
-            )
-        ).alias("shingle"),
+        F.explode(_shingle_expr(toks)).alias("shingle"),
     ).where(F.length("shingle") > 0)
     sh = (
         sh.withColumn(
@@ -1623,17 +1645,14 @@ N_MINHASH = 16
 LSH_BANDS = 4  # 4 bands x 4 rows
 
 
-def _minhash_sig_df(spark, sf_dir):
-    """MinHash signatures fully JVM-side: per permutation k, the signature
-    is min over shingles of xxhash64(shingle, k) — higher-order functions
-    only, no Python in the loop. Returns the array<long> signature column
-    for internal composition (LSH banding); the REGISTERED query
-    q_minhash_signatures projects it to scalar rows because the driver's
-    pandas canonicalizer cannot hash list cells (round-1 red row).
-    Scale: O(docs x shingles) map-side, no shuffle at all."""
-    d = _t_spread(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    shingles = F.array_distinct(
+def _shingle_expr(toks):
+    """Distinct 3-gram shingles of a token array — the ONE definition
+    shared by minhash (both layouts) and the exact Jaccard verifier, so
+    the signature and the thing it estimates can never desynchronize.
+    try_element_at: out-of-range → NULL (matches DuckDB's t[i]); concat_ws
+    skips NULLs in both engines, so sub-3-token docs yield their partial
+    shingle instead of an ANSI error."""
+    return F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0))),
             lambda i: F.concat_ws(
@@ -1644,6 +1663,19 @@ def _minhash_sig_df(spark, sf_dir):
             ),
         )
     )
+
+
+def _minhash_sig_df(spark, sf_dir):
+    """MinHash signatures fully JVM-side: per permutation k, the signature
+    is min over shingles of xxhash64(shingle, k) — higher-order functions
+    only, no Python in the loop. Returns the array<long> signature column
+    for internal composition (LSH banding); the REGISTERED query
+    q_minhash_signatures projects it to scalar rows because the driver's
+    pandas canonicalizer cannot hash list cells (round-1 red row).
+    Scale: O(docs x shingles) map-side, no shuffle at all."""
+    d = _t_spread(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    shingles = _shingle_expr(toks)
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(N_MINHASH - 1)),
         lambda k: F.aggregate(
@@ -1652,7 +1684,11 @@ def _minhash_sig_df(spark, sf_dir):
             F.col("shingles"),
             F.lit(None).cast("long"),
             lambda acc, s: F.least(
-                F.coalesce(acc, F.lit((1 << 62) - 1)),
+                # max-long sentinel: xxhash64 is uniform over the FULL
+                # signed range, so a smaller sentinel (2^62-1) clamps ~1/4
+                # of short docs' signatures to a shared value, biasing the
+                # Jaccard estimate upward
+                F.coalesce(acc, F.lit((1 << 63) - 1)),
                 F.xxhash64(s, k.cast("string")),
             ),
         ),
@@ -1682,27 +1718,16 @@ def q_minhash_signatures(spark, sf_dir):
     tests/test_dedup.py."""
     d = _t_spread(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0))),
-            lambda i: F.concat_ws(
-                " ",
-                F.try_element_at(toks, i + 1),
-                F.try_element_at(toks, i + 2),
-                F.try_element_at(toks, i + 3),
-            ),
-        )
-    )
     sig_k = F.aggregate(
         F.col("shingles"),
         F.lit(None).cast("long"),
         lambda acc, s: F.least(
-            F.coalesce(acc, F.lit((1 << 62) - 1)),
+            F.coalesce(acc, F.lit((1 << 63) - 1)),  # max-long sentinel
             F.xxhash64(s, F.col("k").cast("string")),
         ),
     )
     return (
-        d.select("doc_id", shingles.alias("shingles"))
+        d.select("doc_id", _shingle_expr(toks).alias("shingles"))
         .select(
             "doc_id",
             "shingles",

@@ -54,9 +54,25 @@ def test_tokenizer_self_closing_anchor_does_not_leak():
     assert b.n_anchor_words == 0
 
 
+def test_tokenizer_card_anchor_spans_inner_block():
+    """Valid HTML5 card pattern: an anchor wrapping a block element stays
+    open across that element's close — the tail is still anchor text
+    (code-review finding: the 1.1.0 blanket reset misclassified it)."""
+    src = (
+        '<body><p>intro words here</p><a href="/x"><div>Card title</div>'
+        " view more</a><p>after</p></body>"
+    )
+    blocks, _ = tokenize_blocks(src)
+    by_text = {b.text: b for b in blocks}
+    assert by_text["Card title"].n_anchor_words == 2
+    assert by_text["view more"].n_anchor_words == 2  # tail stays anchor
+    assert by_text["after"].n_anchor_words == 0
+
+
 def test_tokenizer_unclosed_anchor_closes_at_block_close():
-    """Browser-style implicit </a>: an unclosed <a> stops at the next
-    block-level close instead of poisoning the rest of the document."""
+    """Implicit </a>: an unclosed <a> dies when the stack pops below its
+    opening depth, so it cannot poison content after its containing
+    element."""
     src = (
         '<body><div>menu <a href="/x">link words</div>'
         "<p>real article content here</p></body>"

@@ -43,6 +43,7 @@ ADVERSARIAL_EVENTS = [
     (5, _TS, 3, "view", 0.0, '{"k": "txt"}'),
     (6, _TS, None, "click", None, '{"k": 2, "extra": true}'),
     (7, _TS, 4, "purchase", 1e-9, '{"k": -9223372036854775808}'),
+    (8, None, 1, "click", 2.0, '{"k": 3}'),  # null ts: window-order parity
 ]
 
 _TS2 = datetime.datetime(2024, 1, 2)
@@ -165,16 +166,33 @@ def _adversarial_embeddings():
         (21, None, 1),  # failed encoder: null embedding
         (22, [1.0] * 64, 2),
         (23, [1.0] * 64, 2),  # exact dup pair (22, 23)
+        (24, [1.0, None] + [0.5] * 62, 0),  # null ELEMENT: engines differ
+        # on list-lambda NULL propagation unless excluded explicitly
     ]
     return rows
+
+
+def _emb_schema():
+    from pyspark.sql import types as T
+
+    # explicit containsNull=True: the DDL shorthand asserts non-null array
+    # elements on createDataFrame, defeating the null-element case
+    return T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField(
+                "embedding", T.ArrayType(T.DoubleType(), containsNull=True)
+            ),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
 
 
 @pytest.fixture(scope="module")
 def emb_dir(spark, tmp_path_factory):
     sf = str(tmp_path_factory.mktemp("fuzz_emb"))
     spark.createDataFrame(
-        _adversarial_embeddings(),
-        "vec_id long, embedding array<double>, label int",
+        _adversarial_embeddings(), _emb_schema()
     ).coalesce(1).write.parquet(f"{sf}/embeddings.parquet")
     return sf
 
@@ -209,9 +227,29 @@ def test_embedding_kernels_survive_zero_and_null_vectors(spark, emb_dir):
         ), name
         if "pairs" in name:
             assert (22, 23) in {(r["vec_a"], r["vec_b"]) for r in out}, name
-        excluded = {20, 21}
+        excluded = {20, 21, 24}
         ids = {r[0] for r in out}
         assert not (ids & excluded), name
+
+
+def test_ann_degrades_to_empty_when_query_vector_invalid(spark, tmp_path):
+    """If the designated query vector (vec_id=0) is itself null/zero-norm,
+    every ANN operator returns an empty frame — never an IndexError on the
+    driver (code-review finding)."""
+    import random
+
+    from engine.queries import _QUERIES
+
+    rng = random.Random(5)
+    rows = [(0, [0.0] * 64, 0)] + [
+        (i, [rng.gauss(0, 1) for _ in range(64)], 1) for i in range(1, 10)
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    ).coalesce(1).write.parquet(f"{sf}/embeddings.parquet")
+    for name in ("ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf"):
+        assert _QUERIES[name](spark, sf).count() == 0, name
 
 
 def test_documents_queries_survive_adversarial_rows(spark, docs_dir):

@@ -84,12 +84,16 @@ def test_lsh_neardup_plan_shape(spark):
 
 def test_token_correction_stats_map_only_jvm(spark):
     """The JVM CASE-chain correction path: pure expressions — no Python
-    operator, no shuffle."""
+    operator; the only exchange is the deliberate _t_spread round-robin
+    fan-out (task granularity for the CPU-heavy stage), never a keyed
+    shuffle."""
     from engine.queries import q_token_correction_stats
 
     plan = _plan(q_token_correction_stats(spark, SF))
     assert "Python" not in plan
-    assert "Exchange" not in plan
+    assert plan.count("Exchange") == 1
+    assert "RoundRobinPartitioning" in plan
+    assert "Exchange hashpartitioning" not in plan
 
 
 def test_minhash_explode_first_plan(spark):
