@@ -39,10 +39,12 @@ from dataclasses import dataclass, field
 # 1.1.0: malformed-anchor handling — self-closing <a/> no longer leaks
 # link_depth, and an unclosed <a> closes implicitly at the next block-level
 # close instead of marking the document tail as anchor text.
-# 1.2.0: depth-tracked anchors — an anchor now closes implicitly only when
-# the element stack pops BELOW its opening depth, so the valid HTML5 card
-# pattern <a><div>…</div> tail</a> keeps its tail as anchor text while an
-# unclosed <a> still cannot leak past its containing element's close.
+# 1.2.0: depth-tracked anchors — an anchor closes implicitly only when a
+# BLOCK-LEVEL close pops the element stack below its opening depth: the
+# valid HTML5 card pattern <a><div>…</div> tail</a> keeps its tail as
+# anchor text, a mis-nested inline close (</span>) doesn't end the anchor
+# (browser formatting reconstruction), and an unclosed <a> still cannot
+# leak past its containing block's close.
 # Output on the frozen golden corpus is byte-identical to 1.0.0 at both
 # bumps (verified doc-by-doc over all 2000 corpus docs).
 EXTRACTOR_VERSION = "1.2.0"
@@ -263,12 +265,17 @@ def tokenize_blocks(src: str) -> tuple[list[Block], int]:
                     del stack[d:]
                     del child_counts[d + 1 :]
                     break
-            # implicit </a>: any anchor opened at a depth the pop removed
-            # is dead (an unclosed <a> must not poison content after its
-            # containing element); anchors opened ABOVE the popped depth —
-            # the card pattern <a><div>…</div> tail</a> — stay open
-            while anchor_opens and anchor_opens[-1] > len(stack):
-                anchor_opens.pop()
+            # implicit </a>, BLOCK closes only: an anchor opened at a depth
+            # the pop removed is dead (an unclosed <a> must not poison
+            # content after its containing block), while anchors opened
+            # ABOVE the popped depth — the card pattern
+            # <a><div>…</div> tail</a> — stay open. Inline closes
+            # (</span>, </b>) never terminate an anchor: browsers
+            # reconstruct formatting elements across them, so
+            # '<span><a>x</span> y' keeps y as anchor text.
+            if tag in _BLOCK_TAGS:
+                while anchor_opens and anchor_opens[-1] > len(stack):
+                    anchor_opens.pop()
             continue
         tag = g_open_tag
         if not tag:  # bare '<' that starts no markup

@@ -1246,7 +1246,11 @@ def q_ann_lsh_bucketed(spark, sf_dir):
         )
         code = bit if code is None else code + bit
     coded = e.withColumn("code", code)
-    qrows = coded.where(F.col("vec_id") == 0).select("embedding", "code").collect()
+    qrows = (
+        coded.where(F.col("vec_id") == 0)
+        .select("embedding", "code", "_norm2")
+        .collect()
+    )
     if not qrows:
         # the designated query vector is absent/null/zero-norm: degrade to
         # an empty result (same contract as every other operator — bad
@@ -1260,7 +1264,9 @@ def q_ann_lsh_bucketed(spark, sf_dir):
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    qnorm = sum(float(x) * float(x) for x in qrow["embedding"]) ** 0.5
+    # query norm comes from the same validity fold the candidates use —
+    # one definition of "norm", no driver-side re-derivation
+    qnorm = float(qrow["_norm2"]) ** 0.5
     return (
         coded.where(F.col("code").isin(probe) & (F.col("vec_id") != 0))
         .select(
@@ -1301,10 +1307,11 @@ def q_ann_ivf(spark, sf_dir):
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    e = _valid_embeddings(_t(spark, sf_dir, "embeddings"))
+    e = _valid_embeddings(_t(spark, sf_dir, "embeddings"), keep_norm2=True)
     ve = e.select(
         "vec_id",
         "embedding",
+        "_norm2",
         # null elements are excluded by _valid_embeddings, but the fused
         # stage can evaluate this projection before the filter — coalesce
         # shields array_to_vector's non-nullable element assert
@@ -1323,6 +1330,7 @@ def q_ann_ivf(spark, sf_dir):
         train = ve.select("features").limit(_IVF_TRAIN_CAP).cache()
         n_train = train.count()
         if n_train == 0:
+            train.unpersist()
             return spark.createDataFrame([], "vec_id long, sim double")
         # k must not exceed the training-point count (tiny tables)
         k = max(1, min(_IVF_K, n_train))
@@ -1330,7 +1338,9 @@ def q_ann_ivf(spark, sf_dir):
         train.unpersist()
         _IVF_CACHE[cache_key] = (model, np.array(model.clusterCenters()))
     model, centers = _IVF_CACHE[cache_key]
-    assigned = model.transform(ve).select("vec_id", "embedding", "prediction")
+    assigned = model.transform(ve).select(
+        "vec_id", "embedding", "_norm2", "prediction"
+    )
     qrows = (
         assigned.where(F.col("vec_id") == 0).select("embedding").collect()
     )
@@ -1346,11 +1356,6 @@ def q_ann_ivf(spark, sf_dir):
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    norm2 = F.aggregate(
-        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
     qnorm = float(np.sqrt((q * q).sum()))
     return (
         assigned.where(
@@ -1358,7 +1363,10 @@ def q_ann_ivf(spark, sf_dir):
         )
         .select(
             "vec_id",
-            F.round(dot / (F.sqrt(norm2) * F.lit(qnorm)), 4).alias("sim"),
+            # candidate norm reuses the validity fold (_norm2)
+            F.round(
+                dot / (F.sqrt(F.col("_norm2")) * F.lit(qnorm)), 4
+            ).alias("sim"),
         )
         .orderBy(F.desc("sim"), F.asc("vec_id"))
         .limit(10)

@@ -69,6 +69,21 @@ def test_tokenizer_card_anchor_spans_inner_block():
     assert by_text["after"].n_anchor_words == 0
 
 
+def test_tokenizer_anchor_survives_inline_misnesting():
+    """Mis-nested INLINE close (</span>) must not terminate an anchor —
+    browsers reconstruct formatting elements across it, so the trailing
+    words are still anchor text; only a block-level close ends an
+    unclosed <a>."""
+    src = (
+        '<body><div><span><a href="/x">link</span> trailing words</div>'
+        "<p>after block</p></body>"
+    )
+    blocks, _ = tokenize_blocks(src)
+    (b1, b2) = blocks
+    assert b1.n_anchor_words == 3  # 'link trailing words' all anchor
+    assert b2.n_anchor_words == 0  # the </div> ended the unclosed anchor
+
+
 def test_tokenizer_unclosed_anchor_closes_at_block_close():
     """Implicit </a>: an unclosed <a> dies when the stack pops below its
     opening depth, so it cannot poison content after its containing

@@ -226,10 +226,13 @@ def test_embedding_kernels_survive_zero_and_null_vectors(spark, emb_dir):
             not (isinstance(v, float) and v != v) for r in out for v in r
         ), name
         if "pairs" in name:
-            assert (22, 23) in {(r["vec_a"], r["vec_b"]) for r in out}, name
-        excluded = {20, 21, 24}
-        ids = {r[0] for r in out}
-        assert not (ids & excluded), name
+            pairs = {(r["vec_a"], r["vec_b"]) for r in out}
+            assert (22, 23) in pairs, name
+            ids = {a for a, _ in pairs} | {b for _, b in pairs}
+        else:
+            ids = {r[0] for r in out}
+        # invalid vectors appear on NEITHER side of any output row
+        assert not (ids & {20, 21, 24}), name
 
 
 def test_ann_degrades_to_empty_when_query_vector_invalid(spark, tmp_path):
