@@ -185,6 +185,36 @@ def _sql_broadcast_dim_join():
     """
 
 
+def q_region_nation_suppliers(spark, sf_dir):
+    """Snowflake dim chain: supplier → nation → region, suppliers and
+    distinct nations per region. Completes table coverage (region/nation
+    are the only tables no other query touches). Both dims broadcast —
+    the fact side never shuffles; at scale this is two KB-sized builds."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.countDistinct("n_name").alias("n_nations"),
+        )
+    )
+
+
+def _sql_region_nation_suppliers():
+    return """
+    SELECT r_name, count(*) AS n_suppliers,
+           count(DISTINCT n_name) AS n_nations
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """
+
+
 def q_anti_join_pending(spark, sf_dir):
     """LEFT ANTI: the resume primitive — 'pages with no committed lineage
     row' recast as customers with no orders (Q5 skip-existing analog)."""
@@ -1891,6 +1921,11 @@ _reg("distinct_agg", q_distinct_agg, _sql_distinct_agg())
 _reg("rollup_doc_metrics", q_rollup_doc_metrics, _sql_rollup_doc_metrics())
 _reg("cube_events", q_cube_events, _sql_cube_events())
 _reg("broadcast_dim_join", q_broadcast_dim_join, _sql_broadcast_dim_join())
+_reg(
+    "region_nation_suppliers",
+    q_region_nation_suppliers,
+    _sql_region_nation_suppliers(),
+)
 _reg("anti_join_pending", q_anti_join_pending, _sql_anti_join_pending())
 _reg("semi_join", q_semi_join, _sql_semi_join())
 _reg("salted_skew_join", q_salted_skew_join, _sql_salted_skew_join())
