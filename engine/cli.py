@@ -81,7 +81,13 @@ def main(argv: list[str] | None = None) -> int:
     up.add_argument("--runs-root", required=True)
     up.add_argument("--run-id", required=True)
 
-    cp = sub.add_parser("compact")
+    cp = sub.add_parser(
+        "compact",
+        description="Rewrite a completed run's extracted table at the "
+        "target file size. Crash recovery: if a crash leaves no extracted/ "
+        "directory, rename extracted.pre_compact back to extracted/ — the "
+        "backup is only deleted after the new table verifies readable.",
+    )
     cp.add_argument("--runs-root", required=True)
     cp.add_argument("--run-id", required=True)
     cp.add_argument("--target-file-mb", type=int, default=128)

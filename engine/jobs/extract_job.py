@@ -527,8 +527,11 @@ def compact_run(
     shutil.rmtree(bak, ignore_errors=True)
     os.rename(manifest.extracted_path, bak)
     os.rename(tmp, manifest.extracted_path)
-    shutil.rmtree(bak)
+    # the .pre_compact backup survives until the swapped-in table is proven
+    # readable — a crash between the renames (or a corrupt rewrite) is then
+    # recoverable by renaming .pre_compact back over extracted/
     n_after = len(spark.read.parquet(manifest.extracted_path).inputFiles())
+    shutil.rmtree(bak)
     return {
         "run_id": manifest.run_id,
         "files_before": n_before,

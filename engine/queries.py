@@ -780,25 +780,35 @@ def q_map_funcs(spark, sf_dir):
     """MapType family (the debug-attrs map of SURVEY §3.3's array/map row):
     build a real map<string,long> per user via map_from_entries over
     collected (event_type, count) structs, then reduce it back to scalars
-    with map_keys / map_values / try_element_at. The map stays internal —
-    outputs are scalar so the driver can canonicalize. Oracle computes the
-    same values relationally (DuckDB needs no map to agree on them)."""
+    with map_keys / try_element_at. The map stays internal — outputs are
+    scalar so the driver can canonicalize. Oracle computes the same values
+    relationally (DuckDB needs no map to agree on them).
+
+    NULL-key degradation: map_from_entries raises [NULL_MAP_KEY] on a null
+    key, so entries are null-filtered BEFORE the map is built, while
+    n_kinds / n_events come from the pre-map per-group rows — this matches
+    the oracle exactly (DuckDB's count(*)/sum(n) include the NULL group;
+    min(event_type) skips NULL, as array_min over the filtered keys does).
+    One degenerate row degrades, it never kills the task."""
     ev = _t(spark, sf_dir, "events")
     per = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
     m = F.map_from_entries(
-        F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        F.filter(
+            F.sort_array(F.collect_list(F.struct("event_type", "n"))),
+            lambda e: e["event_type"].isNotNull(),
+        )
     )
     return (
         per.groupBy("user_id")
-        .agg(m.alias("m"))
+        .agg(
+            F.count("*").alias("n_kinds"),
+            F.sum("n").alias("n_events"),
+            m.alias("m"),
+        )
         .select(
             "user_id",
-            F.size(F.map_keys(F.col("m"))).alias("n_kinds"),
-            F.aggregate(
-                F.map_values(F.col("m")),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("n_events"),
+            "n_kinds",
+            "n_events",
             F.coalesce(
                 F.try_element_at(F.col("m"), F.lit("click")), F.lit(0)
             ).alias("n_click"),

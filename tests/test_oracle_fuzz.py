@@ -44,6 +44,9 @@ ADVERSARIAL_EVENTS = [
     (6, _TS, None, "click", None, '{"k": 2, "extra": true}'),
     (7, _TS, 4, "purchase", 1e-9, '{"k": -9223372036854775808}'),
     (8, None, 1, "click", 2.0, '{"k": 3}'),  # null ts: window-order parity
+    (9, _TS, 2, None, 0.5, '{"k": 4}'),  # null event_type: NULL group /
+    # pivot / map key — map_from_entries raises [NULL_MAP_KEY] unless the
+    # entry is filtered (advice finding, round 3)
 ]
 
 _TS2 = datetime.datetime(2024, 1, 2)
