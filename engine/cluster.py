@@ -1,0 +1,117 @@
+"""Connected components over a candidate-pair set — pairs → clusters.
+
+Every near-dup operator in engine/queries.py (ngram-jaccard, MinHash-LSH,
+embedding-LSH) emits candidate PAIRS; a training-data pipeline consumes
+CLUSTER assignments (`doc_id -> cluster_id`) with one kept representative
+per cluster. This module closes that gap with a pure-DataFrame iterative
+min-label propagation: no driver-side graph, no Python in the loop body —
+each round is joins + a groupBy, so the physical plan per round is two
+shuffles of (id, label) longs regardless of document size.
+
+Algorithm (min-label propagation + pointer jumping):
+
+  labels(id) := id
+  repeat:
+    1. propagate : label(v) <- min(label(v), min_{(u,v) in E} label(u))
+       (one shuffle: edges ⋈ labels on src, then groupBy dst with min)
+    2. jump      : label(v) <- label(label(v))       (path doubling —
+       one shuffle: labels ⋈ labels on label = id)
+  until sum(label) is unchanged (labels are monotone non-increasing and
+  lower-bounded by the component min, so an unchanged sum IS the fixpoint).
+
+Pointer jumping makes convergence O(log diameter) rounds instead of
+O(diameter) — a 64-node path converges in ~7 rounds, not 64 (pinned in
+tests/test_cluster.py). Near-dup graphs are overwhelmingly tiny dense
+clusters (diameter 1–2), so typical runs converge in 3 rounds; the log
+bound is what survives the adversarial chain-of-dups case at 100 TB.
+
+Scale notes:
+  * Per-round state is exactly |V| (id, label) rows of two longs — at
+    10^12 docs that is ~16 TB shuffled per round across the cluster, with
+    O(log n) rounds. The alternative (alternating small-star/large-star,
+    Kiveris et al. 2014) has the same asymptotics with a ~2x constant on
+    shuffles per round; propagation+jumping wins while per-round state
+    fits, which (id, label) always does.
+  * `localCheckpoint` after each round truncates the logical plan —
+    without it Catalyst re-analyzes a plan that doubles in depth per
+    iteration and re-executes the full upstream pair computation at every
+    convergence check. On a real cluster prefer `checkpoint()` to a
+    reliable store: localCheckpoint trades executor-loss fault tolerance
+    for speed, which is the right trade in a single-JVM sandbox only.
+  * The convergence check is a 1-row sum aggregate per round (an action,
+    as any iterate-to-fixpoint algorithm needs), never a data collect.
+
+Reference parity: the reference (Early-Modern-OCR/emop-controller [U])
+has no clustering stage; this is part of the training-data-pipeline
+surface the task brief makes first-class.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster assignment for every node appearing in `edges`.
+
+    Input: an undirected candidate-pair set (each pair once, either
+    orientation; null endpoints are dropped — a null key is a degenerate
+    row, not an edge). Output: (id, cluster_id) where cluster_id is the
+    minimum node id of the connected component — deterministic, so two
+    runs at any parallelism agree bit-for-bit.
+
+    Raises RuntimeError if the fixpoint is not reached in `max_iter`
+    rounds; with pointer jumping that needs a component diameter over
+    ~2^(max_iter/2), which at 25 rounds is beyond any physical corpus.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("src"),
+        F.col(dst).cast("long").alias("dst"),
+    ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    # symmetrize once; checkpoint so per-round actions don't re-run the
+    # (possibly expensive) upstream pair computation
+    sym = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        # 1. propagate: min label over {self} ∪ in-neighbors
+        nbr = sym.join(labels, sym["src"] == labels["id"]).select(
+            F.col("dst").alias("id"), "label"
+        )
+        prop = (
+            labels.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+        )
+        # 2. pointer jump: label <- label(label). Every label value is a
+        # node id (labels are minima over node ids), so the lookup hits.
+        l2 = prop.select(
+            F.col("id").alias("_jid"), F.col("label").alias("_jlabel")
+        )
+        labels = (
+            prop.join(l2, prop["label"] == l2["_jid"])
+            .select("id", F.col("_jlabel").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            return labels
+        prev_sum = cur_sum
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds"
+    )

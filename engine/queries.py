@@ -1912,6 +1912,143 @@ def q_doc_fingerprint(spark, sf_dir):
     )
 
 
+def _cc_sql(pairs_sql: str, nodes_cte: str) -> str:
+    """Shared recursive-CTE connected-components oracle: transitive closure
+    over the symmetrized pair set, cluster_id = min reachable id. Closure
+    is O(|component|^2) rows — fine at oracle scale (tiny components), and
+    exactly why the ENGINE uses log-round label propagation instead."""
+    return f"""
+    WITH RECURSIVE {nodes_cte},
+    pairs AS ({pairs_sql}),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(id, r) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+    cc AS (SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id),
+    assigned AS (
+      SELECT n.doc_id, coalesce(cc.cluster_id, n.doc_id) AS cluster_id
+      FROM nodes n LEFT JOIN cc ON n.doc_id = cc.id)
+    """
+
+
+def q_neardup_clusters(spark, sf_dir):
+    """Pairs → clusters: connected components over the ngram-Jaccard
+    near-dup pair set (engine/cluster.py — iterative min-label propagation
+    with pointer jumping, joins+groupBy only, no driver-side graph). Every
+    document gets a cluster_id (singletons map to themselves), cluster_n
+    counts members, is_rep marks the kept representative (min doc_id).
+
+    This is the missing last stage of every near-dup path: LSH/Jaccard
+    emit pairs, the training pipeline consumes `doc_id -> cluster_id`.
+    Scale: the pair set is the bucketed sub-quadratic one; per CC round
+    only (id,label) longs shuffle, O(log diameter) rounds. Oracle: DuckDB
+    recursive-CTE transitive closure — exact agreement, value-hash."""
+    from engine.cluster import connected_components
+
+    pairs = q_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    assigned = d.join(cc, d["doc_id"] == cc["id"], "left").select(
+        "doc_id", F.coalesce("label", "doc_id").alias("cluster_id")
+    )
+    return assigned.select(
+        "doc_id",
+        "cluster_id",
+        F.count("*").over(W.partitionBy("cluster_id")).alias("cluster_n"),
+        (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_rep"),
+    )
+
+
+def _sql_neardup_clusters():
+    nodes = "nodes AS (SELECT doc_id FROM documents)"
+    return (
+        _cc_sql(_sql_ngram_jaccard_pairs(), nodes)
+        + """
+    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_n,
+           CAST(doc_id = cluster_id AS INT) AS is_rep
+    FROM assigned
+    """
+    )
+
+
+def q_training_set_selection_neardup(spark, sf_dir):
+    """The full composed training-data pipeline, now through NEAR-dup (the
+    round-2 version stopped at exact dedup): language filter → quality
+    gates → exact dedup (min-doc_id keeper per sha256) → ngram-Jaccard
+    pairs restricted to the surviving pool → connected components → keep
+    the min-doc_id representative per near-dup cluster. Output is one row
+    per kept document with its cluster population.
+
+    Scale shape: gates fuse into the scan; exact dedup shuffles 64-char
+    digests; the pair restriction is two left-semi joins on doc_id; CC
+    shuffles (id,label) longs for O(log diameter) rounds. No stage ships
+    document text through a shuffle except the shingle self-join, which is
+    df-capped (MAX_SHINGLE_DF)."""
+    from engine.cluster import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_toks = F.size(toks)
+    uniq_ratio = F.when(
+        n_toks > 0, F.size(F.array_distinct(toks)).cast("double") / n_toks
+    ).otherwise(0.0)
+    gated = d.where(
+        (F.col("lang") == "en") & (n_toks >= 20) & (uniq_ratio >= 0.3)
+    )
+    keepers = (
+        gated.groupBy(F.sha2("text", 256).alias("text_sha"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    pairs = q_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    kp = pairs.join(
+        keepers.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi"
+    ).join(keepers.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
+    cc = connected_components(kp, "doc_a", "doc_b")
+    assigned = keepers.join(cc, keepers["doc_id"] == cc["id"], "left").select(
+        "doc_id", F.coalesce("label", F.col("doc_id")).alias("cluster_id")
+    )
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_members"))
+        .select("doc_id", "n_members")
+    )
+
+
+def _sql_training_set_selection_neardup():
+    nodes = """
+    gated AS (
+      SELECT * FROM documents
+      WHERE lang = 'en'
+        AND len(string_split(text, ' ')) >= 20
+        AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              / len(string_split(text, ' ')) >= 0.3),
+    keepers AS (SELECT min(doc_id) AS doc_id FROM gated
+                GROUP BY sha256(text)),
+    nodes AS (SELECT doc_id FROM keepers)"""
+    # restrict pairs to the keeper pool, mirroring the two semi-joins
+    pairs_sql = (
+        _sql_ngram_jaccard_pairs()
+        .rstrip()
+        .replace(
+            "WHERE CAST(n_inter AS DOUBLE)",
+            "WHERE doc_a IN (SELECT doc_id FROM nodes)\n"
+            "      AND doc_b IN (SELECT doc_id FROM nodes)\n"
+            "      AND CAST(n_inter AS DOUBLE)",
+        )
+    )
+    return (
+        _cc_sql(pairs_sql, nodes)
+        + """
+    SELECT min(doc_id) AS doc_id, count(*) AS n_members
+    FROM assigned GROUP BY cluster_id
+    """
+    )
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -1982,6 +2119,12 @@ _reg(
     _sql_token_correction_stats(),
 )
 _reg("ngram_jaccard_pairs", q_ngram_jaccard_pairs, _sql_ngram_jaccard_pairs())
+_reg("neardup_clusters", q_neardup_clusters, _sql_neardup_clusters())
+_reg(
+    "training_set_selection_neardup",
+    q_training_set_selection_neardup,
+    _sql_training_set_selection_neardup(),
+)
 _reg("minhash_signatures", q_minhash_signatures, None)
 _reg("lsh_bucket_candidates", q_lsh_bucket_candidates, None)
 _reg("simhash_fingerprint", q_simhash_fingerprint, None)

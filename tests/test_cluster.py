@@ -1,0 +1,110 @@
+"""Pins for engine/cluster.py (pairs → clusters) and the two registered
+clustering queries.
+
+The load-bearing pin is the convergence bound: pointer jumping must make a
+64-node PATH (worst-case diameter for its size) converge within 10 rounds —
+plain min-label propagation would need 63, so this fails if the doubling
+step is ever dropped or broken.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from engine.cluster import connected_components
+from engine.queries import _QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src long, dst long")
+
+
+def _assign(df):
+    return {r["id"]: r["label"] for r in df.collect()}
+
+
+def test_components_on_known_graph(spark):
+    # {0,1,2,3} via a chain + a redundant edge, {10,11}, 20–21 via 21→20
+    got = _assign(
+        connected_components(
+            _edges(
+                spark,
+                [(1, 0), (1, 2), (2, 3), (0, 3), (10, 11), (21, 20)],
+            )
+        )
+    )
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_path_graph_converges_in_log_rounds(spark):
+    """A 64-node path has diameter 63: propagation alone needs 63 rounds,
+    propagation+jumping needs O(log 63) ≈ 6. max_iter=10 binds the log
+    behaviour — this test is THE regression guard for pointer jumping."""
+    path = _edges(spark, [(i, i + 1) for i in range(63)])
+    got = _assign(connected_components(path, max_iter=10))
+    assert got == {i: 0 for i in range(64)}
+
+
+def test_null_endpoints_are_dropped_not_fatal(spark):
+    got = _assign(
+        connected_components(
+            spark.createDataFrame(
+                [(1, 2), (3, None), (None, None)], "src long, dst long"
+            )
+        )
+    )
+    # (3, NULL) is a degenerate row, not an edge: 3 never enters the graph
+    assert got == {1: 1, 2: 1}
+
+
+def test_empty_edges_empty_result(spark):
+    assert connected_components(_edges(spark, [])).count() == 0
+
+
+def test_unconverged_raises(spark):
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(
+            _edges(spark, [(i, i + 1) for i in range(63)]), max_iter=1
+        )
+
+
+def test_neardup_clusters_plan_is_python_free(spark):
+    """The clustering stage is joins/aggs over (id,label) longs — no
+    Python in the plan (the checkpointed pair computation upstream is the
+    already-pinned jaccard plan)."""
+    plan = _QUERIES["neardup_clusters"](
+        spark, SF
+    )._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "MapInPandas", "PythonUDF"):
+        assert marker not in plan, marker
+
+
+def test_neardup_clusters_properties(spark):
+    rows = _QUERIES["neardup_clusters"](spark, SF).collect()
+    by_doc = {r["doc_id"]: r for r in rows}
+    # total assignment: every doc exactly once
+    assert len(by_doc) == len(rows)
+    for r in rows:
+        # representative is the cluster min and is marked
+        assert r["cluster_id"] <= r["doc_id"]
+        assert r["is_rep"] == int(r["doc_id"] == r["cluster_id"])
+        assert by_doc[r["cluster_id"]]["is_rep"] == 1
+    # cluster_n agrees with the actual membership counts
+    from collections import Counter
+
+    sizes = Counter(r["cluster_id"] for r in rows)
+    assert all(sizes[r["cluster_id"]] == r["cluster_n"] for r in rows)
+
+
+def test_selection_neardup_subset_of_exact_selection(spark):
+    """Near-dup selection can only shrink the exact-dedup selection, and
+    representatives must be selected docs."""
+    exact = {
+        r["doc_id"] for r in _QUERIES["training_set_selection"](spark, SF).collect()
+    }
+    near = _QUERIES["training_set_selection_neardup"](spark, SF).collect()
+    near_ids = {r["doc_id"] for r in near}
+    assert near_ids <= exact
+    assert sum(r["n_members"] for r in near) == len(exact)
