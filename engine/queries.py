@@ -1912,6 +1912,174 @@ def q_doc_fingerprint(spark, sf_dir):
     )
 
 
+def q_interval_join_events(spark, sf_dir):
+    """Interval/range join WITHOUT an equality key: every 'purchase' event
+    anchors a [ts, ts+1h) window; count/score all events (any user)
+    falling inside it. The naive plan is a cartesian nested-loop with a
+    range predicate — O(|anchors| x |events|). Instead each interval is
+    decomposed into the <=2 hour buckets it covers (explode over a
+    2-element sequence), events are bucketed by date_trunc('hour'), and
+    the join runs as an EQUI-join on the bucket with the range check as a
+    post-join filter. Each event lives in exactly one bucket, so no pair
+    dedup is needed. At 100 TB this is the standard time-bucketed range
+    join: shuffle keys are hour buckets (bounded cardinality, naturally
+    balanced), and the per-bucket fan-out is |anchors_in_bucket| x
+    |events_in_bucket| — the true output size, not the cartesian.
+    Null-ts rows are outside every interval (dropped both sides)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    anchors = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("anchor_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("w_end"),
+    )
+    a_b = anchors.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "w_start"),
+                F.date_trunc("hour", "w_end"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("bucket"),
+    )
+    e_b = ev.select(
+        "ts", "user_id", "value", F.date_trunc("hour", "ts").alias("bucket")
+    )
+    return (
+        a_b.join(e_b, "bucket")
+        .where((F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end")))
+        .groupBy("anchor_id")
+        .agg(
+            F.count("*").alias("n_in_window"),
+            F.countDistinct("user_id").alias("n_users"),
+            _cents("value").alias("value_cents"),
+        )
+    )
+
+
+def _sql_interval_join_events():
+    # the oracle states the range join directly — DuckDB's IEJoin handles
+    # it; the Spark side must produce the identical relation via buckets
+    return """
+    SELECT a.event_id AS anchor_id,
+           count(*) AS n_in_window,
+           count(DISTINCT e.user_id) AS n_users,
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events a JOIN events e
+      ON e.ts >= a.ts AND e.ts < a.ts + INTERVAL 1 HOUR
+    WHERE a.event_type = 'purchase'
+      AND a.ts IS NOT NULL AND e.ts IS NOT NULL
+    GROUP BY a.event_id
+    """
+
+
+SESSION_GAP_S = 6 * 3600
+
+
+def q_sessionize_events(spark, sf_dir):
+    """Gap-based sessionization (the batch analog of streaming session
+    windows, which BASELINE.json excludes): per user, a >6h silence starts
+    a new session; emit one row per session with start/end epochs and the
+    event count. Pure window algebra — lag for the gap, a running sum of
+    new-session flags for the session number — so the only shuffle is the
+    user_id partitioning, reused by both window passes and the final
+    groupBy. Gaps are computed on floor-epoch seconds on BOTH engines
+    (Spark unix_timestamp truncates, DuckDB epoch() keeps fractions — the
+    shared floor kills boundary divergence). Null ts/user rows have no
+    place on a session timeline: excluded both sides."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    es = F.unix_timestamp("ts")
+    gap = es - F.lag(es).over(w)
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        es.alias("es"),
+        F.when(gap.isNull() | (gap > SESSION_GAP_S), 1)
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    sess = flagged.withColumn(
+        "session_no",
+        F.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return (
+        sess.groupBy("user_id", "session_no")
+        .agg(
+            F.min("es").alias("start_epoch"),
+            F.max("es").alias("end_epoch"),
+            F.count("*").alias("n_events"),
+        )
+        .select("user_id", "session_no", "start_epoch", "end_epoch", "n_events")
+    )
+
+
+def _sql_sessionize_events():
+    return f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts,
+             CAST(floor(epoch(ts)) AS BIGINT) AS es
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+    flagged AS (
+      SELECT user_id, event_id, ts, es,
+             CASE WHEN lag(es) OVER w IS NULL
+                       OR es - lag(es) OVER w > {SESSION_GAP_S}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, es,
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_no
+      FROM flagged)
+    SELECT user_id, session_no,
+           min(es) AS start_epoch, max(es) AS end_epoch,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, session_no
+    """
+
+
+def q_grouping_sets_events(spark, sf_dir):
+    """Literal GROUPING SETS ((event_type),(dow),()) — the one grouping
+    form neither rollup nor cube can express (disjoint single-column sets
+    plus grand total). Via spark.sql: the DataFrame API has no GROUPING
+    SETS surface. grouping(col) flags disambiguate a NULL data value from
+    a grouping null (fuzz corpus has null event_type), emitted per-column
+    rather than as grouping_id() whose bit order is engine-defined."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("_gs_events")
+    return spark.sql(
+        """
+        SELECT event_type, dow,
+               CAST(grouping(event_type) AS INT) AS g_type,
+               CAST(grouping(dow) AS INT) AS g_dow,
+               count(*) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS value_cents
+        FROM (SELECT event_type, dayofweek(ts) AS dow, value
+              FROM _gs_events)
+        GROUP BY GROUPING SETS ((event_type), (dow), ())
+        """
+    )
+
+
+def _sql_grouping_sets_events():
+    # dayofweek: DuckDB 0=Sunday, Spark 1=Sunday -> +1 in SQL
+    return """
+    SELECT event_type, dow,
+           CAST(grouping(event_type) AS INT) AS g_type,
+           CAST(grouping(dow) AS INT) AS g_dow,
+           count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM (SELECT event_type, dayofweek(ts) + 1 AS dow, value FROM events) t
+    GROUP BY GROUPING SETS ((event_type), (dow), ())
+    """
+
+
 def _cc_sql(pairs_sql: str, nodes_cte: str) -> str:
     """Shared recursive-CTE connected-components oracle: transitive closure
     over the symmetrized pair set, cluster_id = min reachable id. Closure
@@ -2087,6 +2255,13 @@ _reg("date_funcs", q_date_funcs, _sql_date_funcs())
 _reg("json_funcs", q_json_funcs, _sql_json_funcs())
 _reg("array_funcs", q_array_funcs, _sql_array_funcs())
 _reg("asof_join", q_asof_join, _sql_asof_join())
+_reg("interval_join_events", q_interval_join_events, _sql_interval_join_events())
+_reg("sessionize_events", q_sessionize_events, _sql_sessionize_events())
+_reg(
+    "grouping_sets_events",
+    q_grouping_sets_events,
+    _sql_grouping_sets_events(),
+)
 _reg("pivot_events", q_pivot_events, _sql_pivot_events())
 _reg("correlated_above_avg", q_correlated_above_avg, _sql_correlated_above_avg())
 _reg("approx_distinct", q_approx_distinct, None)

@@ -74,6 +74,8 @@ DOC_QUERIES = [
     "dedup_exact",
     "training_set_selection",
     "ngram_jaccard_pairs",
+    "neardup_clusters",
+    "training_set_selection_neardup",
     "token_correction_stats",
     "rollup_doc_metrics",
     "set_ops",
@@ -91,6 +93,9 @@ EVENT_QUERIES = [
     "topk_hot_keys",
     "cube_events",
     "running_totals",
+    "interval_join_events",
+    "sessionize_events",
+    "grouping_sets_events",
 ]
 
 

@@ -118,6 +118,28 @@ def test_window_analytics_single_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_interval_join_is_bucketed_equi_join(spark):
+    """The range join must run as an equi-join on hour buckets with the
+    range predicate inlined — the naive plan (nested-loop over the range
+    condition alone) is the O(|anchors| x |events|) cartesian that dies at
+    scale."""
+    from engine.queries import q_interval_join_events
+
+    plan = _plan(q_interval_join_events(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_sessionize_single_shuffle(spark):
+    """lag, the running session-number sum, and the per-session groupBy
+    all reuse the ONE user_id hash partitioning."""
+    from engine.queries import q_sessionize_events
+
+    plan = _plan(q_sessionize_events(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
 def test_dedup_exact_shuffles_digest_not_text(spark):
     """The dedup shuffle key is the sha2 digest (bounded width), computed
     BEFORE the exchange (partial agg side)."""
