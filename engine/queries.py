@@ -1025,8 +1025,20 @@ def q_embedding_neardup_pairs(spark, sf_dir):
     verifies: q_embedding_neardup_pairs_fast (exact, blocked distributed
     numpy) and q_embedding_neardup_pairs_lsh (sub-quadratic banded
     sign-LSH). Norms are precomputed per side (projection before the
-    join), so the join condition touches only a dot product."""
+    join), so the join condition touches only a dot product.
+
+    The quarantine is ENFORCED, not advisory: above ORACLE_KERNEL_MAX_ROWS
+    input vectors the kernel raises instead of silently launching an n²
+    job — callers at scale are pointed at the two scale paths."""
     e = _valid_embeddings(_t(spark, sf_dir, "embeddings"), keep_norm2=True)
+    n = e.count()
+    if n > ORACLE_KERNEL_MAX_ROWS:
+        raise RuntimeError(
+            f"embedding_neardup_pairs is the O(n^2) oracle kernel, capped "
+            f"at {ORACLE_KERNEL_MAX_ROWS} vectors (got {n}); use "
+            "embedding_neardup_pairs_fast (exact) or _lsh (sub-quadratic) "
+            "above oracle scale"
+        )
     v = e.select("vec_id", "embedding", F.sqrt(F.col("_norm2")).alias("nrm"))
     a = v.alias("a")
     b = v.alias("b")
@@ -1070,6 +1082,9 @@ def _sql_embedding_neardup_pairs():
 
 
 NEARDUP_SIM = 0.30
+# hard cap for the O(n^2) oracle kernel: 10^4 vectors = 5x10^7 pairs, the
+# most a correctness-oracle run ever needs; real corpora use the scale paths
+ORACLE_KERNEL_MAX_ROWS = 10_000
 
 
 _NEARDUP_BLOCKS = 8
