@@ -82,15 +82,24 @@ HEADLINE = [
     # scale-path kernels below, and runs only at oracle scale (sf0.01)
     "embedding_neardup_pairs_fast",
     "embedding_neardup_pairs_lsh",
+    # the production operating point (bits=8/bands=12, θ=0.9): <5% candidate
+    # rate — benched alongside the low-threshold battery variant so the
+    # headline shows the operator's real scale behavior, not its worst case
+    "embedding_neardup_pairs_lsh_prod",
     "ann_ivf",
     "asof_join",
+    "interval_join_events",
+    "sessionize_events",
     "pivot_events",
+    "grouping_sets_events",
     "training_set_selection",
+    "neardup_clusters",
     "token_count",
     "lang_id_heuristic",
     "token_correction_stats",
     "window_analytics",
     "stats_agg",
+    "stats_agg_approx",
     "map_funcs",
     "json_roundtrip",
 ]
@@ -276,6 +285,12 @@ def main() -> None:
             "hw_ceiling_docs_per_sec": hw,
             "hw_ceiling_efficiency_n_to_4n": round(hw_eff, 3),
             "hw_ceiling_efficiency_secondary": round(hw_eff_max, 3),
+            # engine scaling ÷ same-run hardware ceiling, both pairs: the
+            # per-run evidence for the 'engine matches the host's own
+            # multiprocessing ceiling' claim — ≥1.0 means the engine scales
+            # at least as well as zero-Spark CPU work on this host right now
+            "eff_vs_ceiling_n_to_4n": round(eff / hw_eff, 3),
+            "eff_vs_ceiling_secondary": round(eff_max / hw_eff_max, 3),
             "note": (
                 f"primary N->4N pair local[{N_SMALL}]->local[{N_BIG}] sits in "
                 "this VM's linear CPU region; the secondary pair "

@@ -30,6 +30,8 @@ def test_all_queries_match_oracle(spark):
         "approx_distinct",
         "embedding_neardup_pairs_fast",
         "embedding_neardup_pairs_lsh",
+        "embedding_neardup_pairs_lsh_prod",
+        "stats_agg_approx",
     }
 
 
@@ -84,6 +86,28 @@ def test_ngram_jaccard_survives_short_docs(spark, tmp_path):
     )
     assert s_fp == d_fp
     assert s_fp[0] >= 1  # the duplicate pair (3,4) must be found
+
+
+def test_stats_agg_approx_error_bound(spark):
+    """The approx_percentile twin must land within 1% (relative) of the
+    exact interpolated percentiles — at accuracy=10000 the sketch's rank
+    error is n/10000, far tighter than this bound; the slack absorbs the
+    exact form's interpolation (approx returns an actual data value)."""
+    from engine.queries import q_stats_agg, q_stats_agg_approx
+
+    sf = "/root/testdata/sf0.01"
+    exact = {r["l_returnflag"]: r for r in q_stats_agg(spark, sf).collect()}
+    approx = {
+        r["l_returnflag"]: r for r in q_stats_agg_approx(spark, sf).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for k in exact:
+        for e_col, a_col in (
+            ("median_price", "median_price_approx"),
+            ("p90_price", "p90_price_approx"),
+        ):
+            e, a = exact[k][e_col], approx[k][a_col]
+            assert abs(a - e) <= 0.01 * abs(e), (k, e_col, e, a)
 
 
 def test_approx_distinct_within_5pct(spark):
