@@ -183,3 +183,179 @@ def image_features(media_df):
     return media_df.select("media_id", "payload").mapInPandas(
         image_feature_batches, schema=IMAGE_FEATURES_DDL
     )
+
+
+# =========================================================================
+# Audio path — same trio (encode / sniff / features) over a PCM-ish payload
+# =========================================================================
+
+AUDIO_META_DDL = (
+    "media_id long, fmt string, sample_rate int, channels int, "
+    "n_samples int, duration_ms long, n_bytes long, parse_ok boolean"
+)
+AUDIO_FEATURES_DDL = (
+    "media_id long, features array<float>, feat_version string, status string"
+)
+
+_AUDIO_MAGIC = b"PCMX"  # magic|sample_rate|channels|n_samples|samples(s16le)
+
+
+def encode_fake_audio(
+    media_id: int, n_samples: int, sample_rate: int = 16000, channels: int = 1
+) -> bytes:
+    """Deterministic synthetic audio payload: integer-arithmetic sample
+    values (no float trig — bit-stable across platforms)."""
+    head = _AUDIO_MAGIC + struct.pack("<III", sample_rate, channels, n_samples)
+    body = bytearray(n_samples * channels * 2)
+    for t in range(n_samples * channels):
+        v = ((media_id * 131 + t * 37) % 65536) - 32768
+        struct.pack_into("<h", body, t * 2, v)
+    return head + bytes(body)
+
+
+def sniff_audio_meta(data: bytes | None) -> dict:
+    """Header-only metadata: NEVER decodes samples (cheap at 100 TB)."""
+    if not data or len(data) < 16 or data[:4] != _AUDIO_MAGIC:
+        return {
+            "fmt": None,
+            "sample_rate": None,
+            "channels": None,
+            "n_samples": None,
+            "duration_ms": None,
+            "n_bytes": len(data) if data else 0,
+            "parse_ok": False,
+        }
+    sr, ch, ns = struct.unpack("<III", data[4:16])
+    return {
+        "fmt": "pcmx",
+        "sample_rate": sr,
+        "channels": ch,
+        "n_samples": ns,
+        "duration_ms": (ns * 1000) // sr if sr else None,
+        "n_bytes": len(data),
+        "parse_ok": True,
+    }
+
+
+def decode_audio_real(data: bytes):
+    """The production decode seam — plug ffmpeg/libsndfile here on a real
+    cluster; the sandbox ships no codecs (by design — see module doc)."""
+    raise NotImplementedError(
+        "audio codecs are not available in this environment; "
+        "use decode_audio_fake for the synthetic PCMX format"
+    )
+
+
+def decode_audio_fake(data: bytes) -> tuple[int, int, list[int]]:
+    meta = sniff_audio_meta(data)
+    if not meta["parse_ok"]:
+        raise ValueError("not a PCMX payload")
+    ns, ch = meta["n_samples"], meta["channels"]
+    want = ns * ch
+    body = data[16 : 16 + want * 2]
+    if len(body) < want * 2:
+        raise ValueError("truncated PCMX body")
+    samples = list(struct.unpack(f"<{want}h", body))
+    return meta["sample_rate"], ch, samples
+
+AUDIO_FEAT_VERSION = "fake-rmspool-1.0"
+
+
+def _pool_audio_features(data: bytes) -> list[float]:
+    """Deterministic 'feature extraction': RMS energy per time-stripe (the
+    stand-in for a log-mel/embedding frontend; the Spark path is real)."""
+    _sr, _ch, samples = decode_audio_fake(data)
+    n = len(samples)
+    if n == 0:
+        return [0.0] * _FEAT_DIM
+    stripe = max(n // _FEAT_DIM, 1)
+    out = []
+    for k in range(_FEAT_DIM):
+        seg = samples[k * stripe : (k + 1) * stripe] or samples[-stripe:]
+        rms = (sum(v * v for v in seg) / len(seg)) ** 0.5
+        out.append(round(rms / 32768.0, 6))
+    return out
+
+
+def audio_meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: (media_id, payload) → header metadata rows."""
+    cols = [
+        "media_id", "fmt", "sample_rate", "channels", "n_samples",
+        "duration_ms", "n_bytes", "parse_ok",
+    ]
+    for pdf in batches:
+        rows = []
+        for mid, data in zip(pdf["media_id"], pdf["payload"]):
+            rec = sniff_audio_meta(data)
+            rec["media_id"] = int(mid)
+            rows.append(rec)
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def audio_feature_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: decode (fake) + RMS pooling; per-row failure
+    containment mirrors the extract stage."""
+    for pdf in batches:
+        rows = []
+        for mid, data in zip(pdf["media_id"], pdf["payload"]):
+            try:
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "features": _pool_audio_features(data),
+                        "feat_version": AUDIO_FEAT_VERSION,
+                        "status": "ok",
+                    }
+                )
+            except Exception:
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "features": None,
+                        "feat_version": AUDIO_FEAT_VERSION,
+                        "status": "failed",
+                    }
+                )
+        yield pd.DataFrame(
+            rows, columns=["media_id", "features", "feat_version", "status"]
+        )
+
+
+def generate_audio(spark, n: int, partitions: int = 8):
+    """Distributed synthetic audio table (media_id, payload binary)."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                if i % 17 == 0:  # corrupt payloads exercise failure path
+                    rows.append({"media_id": i, "payload": b"\x01noise"})
+                else:
+                    rows.append(
+                        {
+                            "media_id": i,
+                            "payload": encode_fake_audio(
+                                i, 400 + (i % 7) * 50
+                            ),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return spark.range(0, n, numPartitions=partitions).mapInPandas(
+        gen, schema="media_id long, payload binary"
+    )
+
+
+def audio_meta(media_df):
+    return media_df.select("media_id", "payload").mapInPandas(
+        audio_meta_batches, schema=AUDIO_META_DDL
+    )
+
+
+def audio_features(media_df):
+    return media_df.select("media_id", "payload").mapInPandas(
+        audio_feature_batches, schema=AUDIO_FEATURES_DDL
+    )

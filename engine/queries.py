@@ -1961,6 +1961,89 @@ def q_doc_fingerprint(spark, sf_dir):
     )
 
 
+N_MULTIMODAL_MEDIA = 500
+
+
+def q_multimodal_image_topk(spark, sf_dir):
+    """Driver-visible multimodal pipeline (rows-only): deterministic PPMX
+    media table → header-only meta sniff (never decodes pixels) → pooled
+    feature extraction (one Arrow crossing) → meta⋈features →
+    ann_cosine_topk-style top-10 vs media_id=1's feature vector. The
+    engine/multimodal.py plumbing CORRECTNESS never saw before this entry.
+    Deterministic: the fake codec is seeded by media_id alone, so any
+    partitioning/parallelism yields identical rows (pinned in
+    tests/test_multimodal.py). sf_dir is unused — media is synthesized, as
+    the task brief requires for modalities with no shipped codecs."""
+    from engine import multimodal as M
+
+    media = M.generate_media(spark, N_MULTIMODAL_MEDIA, partitions=8)
+    norm2 = F.aggregate(
+        F.transform("features", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    fv = (
+        M.image_features(media)
+        .where(F.col("status") == "ok")
+        .withColumn("_n2", norm2)
+        .where(F.col("_n2") > 0)
+    )
+    q = fv.where(F.col("media_id") == 1).select(
+        F.col("features").alias("qf"), F.col("_n2").alias("_qn2")
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            "features", "qf", lambda a, b: a.cast("double") * b.cast("double")
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    meta = M.image_meta(media).where(F.col("parse_ok"))
+    return (
+        fv.where(F.col("media_id") != 1)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "media_id",
+            F.round(
+                dot / (F.sqrt(F.col("_n2")) * F.sqrt(F.col("_qn2"))), 4
+            ).alias("sim"),
+        )
+        .join(meta.select("media_id", "width", "height"), "media_id")
+        .orderBy(F.desc("sim"), F.asc("media_id"))
+        .limit(10)
+        .select("media_id", "width", "height", "sim")
+    )
+
+
+def q_multimodal_audio_loudest(spark, sf_dir):
+    """Audio twin of the image pipeline (rows-only): deterministic PCMX
+    table → header sniff (sample_rate/duration without decoding) → RMS
+    stripe features → meta⋈features → top-10 loudest (mean stripe RMS)
+    with a media_id tie-break. Same honest-seam structure: the fake codec
+    exercises the identical Spark plumbing a real ffmpeg decode would."""
+    from engine import multimodal as M
+
+    media = M.generate_audio(spark, N_MULTIMODAL_MEDIA, partitions=8)
+    feats = M.audio_features(media).where(F.col("status") == "ok")
+    mean_rms = F.round(
+        F.aggregate(
+            F.transform("features", lambda x: x.cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        / F.size("features"),
+        4,
+    )
+    meta = M.audio_meta(media).where(F.col("parse_ok"))
+    return (
+        feats.select("media_id", mean_rms.alias("loudness"))
+        .join(meta.select("media_id", "sample_rate", "duration_ms"), "media_id")
+        .orderBy(F.desc("loudness"), F.asc("media_id"))
+        .limit(10)
+        .select("media_id", "sample_rate", "duration_ms", "loudness")
+    )
+
+
 def q_interval_join_events(spark, sf_dir):
     """Interval/range join WITHOUT an equality key: every 'purchase' event
     anchors a [ts, ts+1h) window; count/score all events (any user)
@@ -2359,6 +2442,8 @@ _reg("minhash_signatures", q_minhash_signatures, None)
 _reg("lsh_bucket_candidates", q_lsh_bucket_candidates, None)
 _reg("simhash_fingerprint", q_simhash_fingerprint, None)
 _reg("doc_fingerprint", q_doc_fingerprint, None)
+_reg("multimodal_image_topk", q_multimodal_image_topk, None)
+_reg("multimodal_audio_loudest", q_multimodal_audio_loudest, None)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -7,12 +7,19 @@ import pytest
 from pyspark.sql import functions as F
 
 from engine.multimodal import (
+    audio_features,
+    audio_meta,
+    decode_audio_fake,
+    decode_audio_real,
     decode_image_fake,
     decode_image_real,
+    encode_fake_audio,
     encode_fake_image,
+    generate_audio,
     generate_media,
     image_features,
     image_meta,
+    sniff_audio_meta,
     sniff_image_meta,
 )
 
@@ -84,3 +91,66 @@ def test_features_feed_ann_operator(spark):
         .collect()
     )
     assert len(top) == 5 and all(r["dot"] is not None for r in top)
+
+
+# ===== audio path: the same five pins as the image trio =====
+
+
+def test_audio_real_decode_is_marked_seam():
+    with pytest.raises(NotImplementedError):
+        decode_audio_real(b"anything")
+
+
+def test_audio_fake_codec_roundtrip():
+    data = encode_fake_audio(7, 400, 16000, 1)
+    sr, ch, samples = decode_audio_fake(data)
+    assert (sr, ch, len(samples)) == (16000, 1, 400)
+    assert all(-32768 <= v <= 32767 for v in samples)
+    meta = sniff_audio_meta(data)
+    assert meta["parse_ok"] and meta["fmt"] == "pcmx"
+    assert meta["duration_ms"] == 400 * 1000 // 16000
+    assert not sniff_audio_meta(b"junk")["parse_ok"]
+
+
+def test_audio_spark_meta_and_features(spark):
+    media = generate_audio(spark, 200, partitions=4)
+    meta = audio_meta(media).cache()
+    assert meta.count() == 200
+    ok = meta.where("parse_ok").count()
+    bad = meta.where("NOT parse_ok").count()
+    assert bad == len([i for i in range(200) if i % 17 == 0])
+    assert ok + bad == 200
+
+    feats = audio_features(media).cache()
+    okf = feats.where(F.col("status") == "ok")
+    assert okf.count() == ok
+    dims = okf.select(F.size("features").alias("d")).distinct().collect()
+    assert [r["d"] for r in dims] == [8]
+    bad_vals = okf.where(
+        F.exists("features", lambda x: (x < 0) | (x > 1))
+    ).count()
+    assert bad_vals == 0
+    assert feats.where(
+        (F.col("status") == "failed") & F.col("features").isNotNull()
+    ).count() == 0
+    meta.unpersist(); feats.unpersist()
+
+
+def test_audio_features_deterministic(spark):
+    norm = lambda rows: {  # noqa: E731
+        (r["media_id"], tuple(r["features"] or []), r["status"]) for r in rows
+    }
+    a = norm(audio_features(generate_audio(spark, 60)).collect())
+    b = norm(audio_features(generate_audio(spark, 60, partitions=3)).collect())
+    assert a == b
+
+
+def test_registered_multimodal_queries_deterministic(spark):
+    """The driver-visible rows-only entries must be run-to-run stable —
+    they are what CORRECTNESS hashes."""
+    from engine.queries import _QUERIES
+
+    for name in ("multimodal_image_topk", "multimodal_audio_loudest"):
+        a = [tuple(r) for r in _QUERIES[name](spark, "unused").collect()]
+        b = [tuple(r) for r in _QUERIES[name](spark, "unused").collect()]
+        assert a == b and len(a) == 10, name

@@ -32,6 +32,8 @@ def test_all_queries_match_oracle(spark):
         "embedding_neardup_pairs_lsh",
         "embedding_neardup_pairs_lsh_prod",
         "stats_agg_approx",
+        "multimodal_image_topk",
+        "multimodal_audio_loudest",
     }
 
 
