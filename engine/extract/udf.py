@@ -7,9 +7,17 @@ once per batch, the whole R1–R5 stage chain of the reference
 ONE fused function over the batch (SURVEY.md §3.3 dedup note), and the
 (text, spans, metrics) result crosses back once.
 
-`mapInPandas` is used rather than a scalar pandas_udf because the output is a
-10-column struct-per-row (spans is array<struct>) — one pass, one schema, no
-column reassembly on the JVM side.
+`mapInArrow` is the default surface (SURVEY §3.3's target): the measured A/B
+on the 150k-doc bench corpus (interleaved min-of-3 at local[32]) put the
+arrow body at 34.4k docs/s vs 30.7k for the mapInPandas twin (+12%) — the
+win is skipping the Arrow→pandas→Arrow hop on both sides of the channel;
+both paths still materialize Python bytes for the tokenizer. The pandas
+body is kept as `run_extract_pandas` (same output, byte-identical — pinned
+in tests/test_spark_extract.py) because a scalar-iterator pandas surface is
+what most Spark shops reach for first, and the twin documents exactly what
+the swap buys. Neither uses a scalar pandas_udf: the output is a 10-column
+struct-per-row (spans is array<struct>) — one pass, one schema, no column
+reassembly on the JVM side.
 """
 
 from __future__ import annotations
@@ -53,11 +61,49 @@ def extract_batches(
         yield pd.DataFrame(cols, columns=_OUT_COLS)
 
 
-def run_extract(pages_df):
-    """pages → extracted. Column-prunes to (url, html) before the UDF so only
-    the needed bytes cross the Arrow channel."""
+def run_extract_pandas(pages_df):
+    """mapInPandas variant — the measured -12% twin of run_extract (see
+    module doc); byte-identical output, kept as the documented alternative
+    surface."""
     return pages_df.select("url", "html").mapInPandas(
         extract_batches, schema=EXTRACTED_DDL
+    )
+
+
+def extract_batches_arrow(batches):
+    """mapInArrow body — the pandas-free twin of extract_batches. Skips the
+    Arrow→pandas→Arrow conversion: html bytes come out of the RecordBatch
+    via to_pylist() (both paths must materialize Python bytes for the
+    tokenizer), and the output batch is assembled straight into pyarrow
+    arrays against the declared schema. Byte-identical to the pandas path
+    by construction (same extract_document), pinned in
+    tests/test_spark_extract.py."""
+    import pyarrow as pa
+
+    from engine.schema import extracted_arrow_schema
+
+    out_schema = extracted_arrow_schema()
+    for batch in batches:
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        cols: dict[str, list] = {c: [] for c in _OUT_COLS}
+        cols["url"] = urls
+        for html in htmls:
+            rec = extract_document(html)
+            for c in _OUT_COLS[1:]:
+                cols[c].append(rec[c])
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(cols[c], type=out_schema.field(c).type) for c in _OUT_COLS],
+            schema=out_schema,
+        )
+
+
+def run_extract(pages_df):
+    """pages → extracted, via mapInArrow (the measured-faster surface; see
+    module doc). Column-prunes to (url, html) before the UDF so only the
+    needed bytes cross the Arrow channel."""
+    return pages_df.select("url", "html").mapInArrow(
+        extract_batches_arrow, schema=EXTRACTED_DDL
     )
 
 

@@ -91,3 +91,31 @@ EXTRACTED_DDL = (
     "n_chars long, link_density double, boiler_ratio double, quality double, "
     "extractor_version string, status string, error string"
 )
+
+
+def extracted_arrow_schema():
+    """pyarrow schema matching EXTRACTED_SCHEMA — for the mapInArrow
+    extract variant (assembling RecordBatches without a pandas hop)."""
+    import pyarrow as pa
+
+    span = pa.struct(
+        [
+            pa.field("node_path", pa.string()),
+            pa.field("start", pa.int32()),
+            pa.field("end", pa.int32()),
+        ]
+    )
+    return pa.schema(
+        [
+            pa.field("url", pa.string()),
+            pa.field("text", pa.string()),
+            pa.field("spans", pa.list_(span)),
+            pa.field("n_chars", pa.int64()),
+            pa.field("link_density", pa.float64()),
+            pa.field("boiler_ratio", pa.float64()),
+            pa.field("quality", pa.float64()),
+            pa.field("extractor_version", pa.string()),
+            pa.field("status", pa.string()),
+            pa.field("error", pa.string()),
+        ]
+    )

@@ -77,7 +77,7 @@ def test_neardup_clusters_plan_is_python_free(spark):
     plan = _QUERIES["neardup_clusters"](
         spark, SF
     )._jdf.queryExecution().executedPlan().toString()
-    for marker in ("BatchEvalPython", "MapInPandas", "PythonUDF"):
+    for marker in ("BatchEvalPython", "MapInPandas", "MapInArrow", "PythonUDF"):
         assert marker not in plan, marker
 
 

@@ -32,7 +32,7 @@ def pages_path(spark, tmp_path_factory):
 def test_extract_scan_prunes_to_url_html(spark, pages_path):
     plan = _plan(run_extract(spark.read.parquet(pages_path)))
     assert "ReadSchema: struct<url:string,html:binary>" in plan
-    assert "MapInPandas" in plan
+    assert "MapInArrow" in plan
     # map-only: no shuffle/exchange anywhere in the extract stage
     assert "Exchange" not in plan
 
