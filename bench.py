@@ -94,6 +94,10 @@ HEADLINE = [
     "grouping_sets_events",
     "training_set_selection",
     "neardup_clusters",
+    "repetition_metrics",
+    "ngram_decontaminate",
+    "passage_dedup",
+    "mixture_sample",
     "token_count",
     "lang_id_heuristic",
     "token_correction_stats",

@@ -1961,6 +1961,263 @@ def q_doc_fingerprint(spark, sf_dir):
     )
 
 
+# =========================================================================
+# Training-data curation: repetition filter, decontamination, passage dedup,
+# reproducible mixture sampling (round 3)
+# =========================================================================
+
+
+def _doc_toks():
+    """Whitespace tokens with NULL text coalesced to '' so a bad row yields
+    one empty token on BOTH engines (DuckDB string_split('',' ') == Spark
+    split('',' ') == ['']) instead of a NULL array that drops the row from
+    one side's unnest."""
+    return F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+
+
+def q_repetition_metrics(spark, sf_dir):
+    """Gopher-style repetition quality filter: per document, the fraction of
+    tokens taken by the single most frequent token (`top_word_frac`) and the
+    fraction of duplicated bigrams (`dup_bigram_frac`), plus a keep flag.
+
+    Scale story: the mode of a token array is computed as the max run length
+    over the SORTED array via one JVM `aggregate` fold — no explode, no
+    shuffle, whole plan is map-only and survives 10^12 docs untouched. The
+    obvious alternative (explode → groupBy doc,token → max) shuffles
+    n_tokens rows per document.
+    """
+    d = _t_spread(spark, sf_dir, "documents")
+    toks = _doc_toks()
+    n = F.size(toks)
+    zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc, t):
+        run = F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            t.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    top_cnt = F.aggregate(F.array_sort(toks), zero, step)["best"]
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.try_element_at(toks, i), F.try_element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_bi = F.size(bigrams)
+    dup_frac = F.round(
+        F.when(
+            n_bi > 0,
+            (n_bi - F.size(F.array_distinct(bigrams))).cast("double") / n_bi,
+        ).otherwise(F.lit(0.0)),
+        4,
+    )
+    top_frac = F.round(top_cnt.cast("double") / n, 4)
+    return d.select(
+        "doc_id",
+        top_frac.alias("top_word_frac"),
+        dup_frac.alias("dup_bigram_frac"),
+        F.when((top_frac <= 0.2) & (dup_frac <= 0.5), 1)
+        .otherwise(0)
+        .alias("keep"),
+    )
+
+
+def _sql_repetition_metrics():
+    return """
+    WITH t AS (SELECT doc_id, string_split(coalesce(text,''),' ') AS toks
+               FROM documents),
+    freq AS (
+      SELECT doc_id, max(c) AS top_cnt FROM (
+        SELECT doc_id, tok, count(*) AS c
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+        GROUP BY doc_id, tok)
+      GROUP BY doc_id),
+    bi AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) >= 2 THEN
+          list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        ELSE CAST([] AS VARCHAR[]) END AS bigrams
+      FROM t)
+    SELECT t.doc_id,
+      round(CAST(freq.top_cnt AS DOUBLE)/len(t.toks), 4) AS top_word_frac,
+      round(CASE WHEN len(bigrams) > 0 THEN
+        CAST(len(bigrams)-len(list_distinct(bigrams)) AS DOUBLE)/len(bigrams)
+        ELSE 0.0 END, 4) AS dup_bigram_frac,
+      CASE WHEN round(CAST(freq.top_cnt AS DOUBLE)/len(t.toks),4) <= 0.2
+            AND round(CASE WHEN len(bigrams) > 0 THEN
+                  CAST(len(bigrams)-len(list_distinct(bigrams)) AS DOUBLE)
+                    /len(bigrams) ELSE 0.0 END, 4) <= 0.5
+           THEN 1 ELSE 0 END AS keep
+    FROM t JOIN freq USING (doc_id) JOIN bi USING (doc_id)
+    """
+
+
+def q_ngram_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag corpus documents sharing any 4-gram
+    with the held-out benchmark slice (doc_id % 10 == 7 — the in-repo stand-
+    in for an eval-set n-gram list). Output: contaminated doc_id + number of
+    distinct benchmark 4-grams it contains.
+
+    Scale story: the benchmark n-gram set is small by construction (eval
+    sets are ~10^5 docs, not 10^12) → distinct + BROADCAST, so the corpus
+    side is a map-only probe; the only shuffle is the bounded per-doc count.
+    At 100 TB the corpus explode never lands on disk — it feeds the
+    broadcast-hash-join probe directly.
+    """
+    d = _t_spread(spark, sf_dir, "documents")
+    toks = _doc_toks()
+    n = F.size(toks)
+    grams = F.when(
+        n >= 4,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.try_element_at(toks, i),
+                    F.try_element_at(toks, i + 1),
+                    F.try_element_at(toks, i + 2),
+                    F.try_element_at(toks, i + 3),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = d.select("doc_id", grams.alias("grams"))
+    bench = (
+        g.where(F.col("doc_id") % 10 == 7)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    corpus = g.where(F.col("doc_id") % 10 != 7).select(
+        "doc_id", F.explode("grams").alias("gram")
+    )
+    return (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+def _sql_ngram_decontaminate():
+    return """
+    WITH g AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) >= 4 THEN
+          list_distinct(list_transform(range(1, len(toks)-2), i ->
+            toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]))
+        ELSE CAST([] AS VARCHAR[]) END AS grams
+      FROM (SELECT doc_id, string_split(coalesce(text,''),' ') AS toks
+            FROM documents)),
+    bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g
+              WHERE doc_id % 10 = 7),
+    corpus AS (SELECT doc_id, unnest(grams) AS gram FROM g
+               WHERE doc_id % 10 <> 7)
+    SELECT doc_id, count(*) AS n_hits
+    FROM corpus JOIN bench USING (gram)
+    GROUP BY doc_id
+    """
+
+
+def q_passage_dedup(spark, sf_dir):
+    """CCNet-style corpus-wide passage dedup: split each document into
+    10-token chunks, keep only the globally FIRST occurrence of each chunk
+    (ordered by doc_id, position), reassemble the surviving text per doc.
+
+    Scale story: this is the canonical paragraph-dedup shape — explode to
+    one row per chunk, ONE shuffle keyed by chunk content for the
+    first-occurrence window, one bounded groupBy(doc_id) to reassemble.
+    Chunk keys are near-unique so the window partitions are tiny (skew-free
+    by construction); at 100 TB the chunk column would be sha2-hashed before
+    the shuffle to move 32-byte keys instead of text (exactly the
+    digest-not-text trick pinned for dedup_exact).
+    """
+    d = _t_spread(spark, sf_dir, "documents")
+    toks = _doc_toks()
+    n_chunks = F.ceil(F.size(toks) / F.lit(10.0)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda p: F.concat_ws(" ", F.slice(toks, p * 10 + 1, 10)),
+    )
+    ex = d.select("doc_id", F.posexplode(chunks).alias("pos", "chunk"))
+    w = W.partitionBy("chunk").orderBy("doc_id", "pos")
+    kept = ex.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+        ).alias("text_kept"),
+    )
+
+
+def _sql_passage_dedup():
+    return """
+    WITH t AS (SELECT doc_id, string_split(coalesce(text,''),' ') AS toks
+               FROM documents),
+    ch AS (
+      SELECT doc_id,
+        unnest(range(0, CAST(ceil(len(toks)/10.0) AS INT))) AS pos,
+        unnest(list_transform(range(0, CAST(ceil(len(toks)/10.0) AS INT)),
+               p -> array_to_string(toks[p*10+1 : p*10+10], ' '))) AS chunk
+      FROM t),
+    k AS (SELECT doc_id, pos, chunk,
+                 row_number() OVER (PARTITION BY chunk
+                                    ORDER BY doc_id, pos) AS rn
+          FROM ch)
+    SELECT doc_id, count(*) AS n_kept,
+           string_agg(chunk, ' ' ORDER BY pos) AS text_kept
+    FROM k WHERE rn = 1 GROUP BY doc_id
+    """
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Reproducible stratified mixture sampling: each doc hashes to a bucket
+    in [0,100) via md5(text) (engine-independent, rerun-stable — the way a
+    real pipeline pins a training mixture), and each source stratum gets a
+    target rate (even-numbered sources 80%, odd 20%). Output: per-source
+    total vs sampled counts.
+
+    Scale story: md5 + ascii arithmetic is map-side JVM; the only shuffle is
+    groupBy(source) over partial aggregates (#sources rows per partition).
+    Changing mixture weights re-samples WITHOUT data movement — the bucket
+    is a pure function of content.
+    """
+    d = _t(spark, sf_dir, "documents")
+    h = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    bucket = (
+        F.ascii(F.substring(h, 1, 1)) * 31 + F.ascii(F.substring(h, 2, 1))
+    ) % 100
+    src_num = F.regexp_extract(F.col("source"), r"(\d+)", 1).try_cast("int")
+    rate = F.when(src_num % 2 == 0, F.lit(80)).otherwise(F.lit(20))
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(bucket < rate, 1).otherwise(0)).alias("n_sampled"),
+    )
+
+
+def _sql_mixture_sample():
+    return r"""
+    SELECT source, count(*) AS n_docs,
+      sum(CASE WHEN (ascii(substr(md5(coalesce(text,'')),1,1))*31
+                     + ascii(substr(md5(coalesce(text,'')),2,1))) % 100
+               < CASE WHEN TRY_CAST(regexp_extract(source,'(\d+)',1) AS INT)
+                           % 2 = 0
+                      THEN 80 ELSE 20 END
+               THEN 1 ELSE 0 END) AS n_sampled
+    FROM documents GROUP BY source
+    """
+
+
 N_MULTIMODAL_MEDIA = 500
 
 
@@ -2438,6 +2695,10 @@ _reg(
     q_training_set_selection_neardup,
     _sql_training_set_selection_neardup(),
 )
+_reg("repetition_metrics", q_repetition_metrics, _sql_repetition_metrics())
+_reg("ngram_decontaminate", q_ngram_decontaminate, _sql_ngram_decontaminate())
+_reg("passage_dedup", q_passage_dedup, _sql_passage_dedup())
+_reg("mixture_sample", q_mixture_sample, _sql_mixture_sample())
 _reg("minhash_signatures", q_minhash_signatures, None)
 _reg("lsh_bucket_candidates", q_lsh_bucket_candidates, None)
 _reg("simhash_fingerprint", q_simhash_fingerprint, None)

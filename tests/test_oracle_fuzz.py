@@ -79,6 +79,10 @@ DOC_QUERIES = [
     "token_correction_stats",
     "rollup_doc_metrics",
     "set_ops",
+    "repetition_metrics",
+    "ngram_decontaminate",
+    "passage_dedup",
+    "mixture_sample",
 ]
 EVENT_QUERIES = [
     "json_funcs",

@@ -151,3 +151,50 @@ def test_dedup_exact_shuffles_digest_not_text(spark):
     # exchange partitions on it — never on the raw text column
     assert "partial_min" in plan
     assert "hashpartitioning(text#" not in plan
+
+
+def test_repetition_metrics_map_only_jvm(spark):
+    """The Gopher-repetition filter computes the token mode as a JVM fold
+    over the sorted array — NO explode, NO per-doc shuffle, NO Python. The
+    only exchange is the deliberate fan-out repartition (_t_spread)."""
+    from engine.queries import q_repetition_metrics
+
+    plan = _plan(q_repetition_metrics(spark, SF))
+    assert plan.count("Exchange") == 1  # the round-robin fan-out only
+    assert "Exchange hashpartitioning" not in plan
+    for py in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
+        assert py not in plan
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    """The benchmark n-gram set is the broadcast side; the 10^12-doc corpus
+    probe must never sort-merge or nest-loop."""
+    from engine.queries import q_ngram_decontaminate
+
+    plan = _plan(q_ngram_decontaminate(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_passage_dedup_two_shuffles(spark):
+    """Corpus-wide passage dedup = exactly two hash shuffles: chunk-keyed
+    first-occurrence window + doc_id reassembly groupBy."""
+    from engine.queries import q_passage_dedup
+
+    plan = _plan(q_passage_dedup(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 2
+    for py in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
+        assert py not in plan
+
+
+def test_mixture_sample_single_shuffle(spark):
+    """Hash-bucket sampling is map-side (md5 visible pre-exchange); the only
+    shuffle carries per-source partial aggregates."""
+    from engine.queries import q_mixture_sample
+
+    plan = _plan(q_mixture_sample(spark, SF))
+    assert plan.count("Exchange") == 1
+    assert "md5" in plan
+    assert "partial_count" in plan or "partial" in plan
