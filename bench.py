@@ -28,16 +28,21 @@ the reader can see the engine tracks the ceiling rather than falling
 under it.
 
 Methodology notes (pinned per SURVEY.md §5.2):
-  * the corpus parquet is written once as 128 files; bench sessions set
-    spark.sql.files.maxPartitionBytes=4m / openCostInBytes=0 so every
-    parallelism level sees the same fine-grained CPU-bound stage (no
-    task-granularity artifacts);
+  * the corpus parquet is written once as 128 files (~330 KB each on
+    disk); bench sessions set spark.sql.files.maxPartitionBytes=512k /
+    openCostInBytes=0 so each file is its own split — 128 tasks at every
+    parallelism level (4m packed them into 11 splits = 1.4 waves at 8
+    cores, a 27% idle tail that read as engine scaling loss);
   * python workers are warmed with a small untimed pass (workers are
     reused), so the timed region measures steady-state throughput;
   * the timed action is a full count over the extract output (the UDF runs
     on every row; nothing is collected to the driver);
   * each timed run is a fresh SparkSession; JVM/session startup is NOT
-    included in the timed region.
+    included in the timed region;
+  * the raw-multiprocessing hardware-ceiling legs run INSIDE the same
+    interleaved rep loop as the engine legs (best rep per core count), so
+    the emitted eff_vs_ceiling ratios compare engine and ceiling sampled
+    under the same host weather.
 """
 
 from __future__ import annotations
@@ -119,7 +124,7 @@ def _session(cores: int, label: str):
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.files.maxPartitionBytes", "4m")
+        .config("spark.sql.files.maxPartitionBytes", "512k")
         .config("spark.sql.files.openCostInBytes", "0")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.ui.enabled", "false")
@@ -213,24 +218,28 @@ def time_queries() -> dict[str, float]:
     return timings
 
 
-def hw_ceiling(core_pairs: list[int], n_docs: int = 4000) -> dict:
+def hw_ceiling(core_pairs: list[int], docs: list) -> dict:
     """Raw-multiprocessing hardware calibration: the same extractor, zero
     Spark, zero shared state. Any gap between this curve and linear is the
     VM's CPU/memory-bandwidth ceiling, not engine overhead."""
     import multiprocessing as mp
 
     from engine.extract import core as _core  # noqa: F401
-    from engine.synth import gen_doc
 
-    docs = [gen_doc(i)[0]["html"] for i in range(n_docs)]
     out = {}
     for nproc in core_pairs:
         chunks = [docs[i::nproc] for i in range(nproc)]
         t0 = time.monotonic()
         with mp.Pool(nproc) as p:
             p.map(_hw_work, chunks)
-        out[str(nproc)] = round(n_docs / (time.monotonic() - t0), 1)
+        out[str(nproc)] = round(len(docs) / (time.monotonic() - t0), 1)
     return out
+
+
+def hw_docs(n_docs: int = 4000) -> list:
+    from engine.synth import gen_doc
+
+    return [gen_doc(i)[0]["html"] for i in range(n_docs)]
 
 
 def _hw_work(chunk):
@@ -240,32 +249,41 @@ def _hw_work(chunk):
         extract_document(h)
 
 
-def time_extract_robust(meta: dict) -> dict[int, dict]:
-    """Interleaved repeated legs, per-leg MIN throughput.
+def time_extract_robust(meta: dict) -> tuple[dict[int, dict], dict[str, float]]:
+    """Interleaved repeated legs, per-leg MIN throughput — engine AND
+    hardware-ceiling legs in the SAME rep loop.
 
     This shared VM's effective per-core speed drifts over minutes (pure-spin
     calibration shows a 1.7x spread across simultaneous processes and 2-3x
     swings of identical legs across runs, zero steal). Interleaving the
     parallelism levels and taking each leg's best rep measures the engine at
-    the hardware's full speed instead of sampling host weather."""
+    the hardware's full speed instead of sampling host weather. The raw-
+    multiprocessing ceiling legs are interleaved into the same loop (best
+    rep per core count) so eff_vs_ceiling compares engine and ceiling
+    sampled under the SAME host weather, not a ceiling measured minutes
+    later (round-2 verdict: the one-shot trailing calibration made the
+    ratio itself noisy)."""
     best: dict[int, dict] = {}
+    hw_best: dict[str, float] = {}
+    docs = hw_docs()
     for _rep in range(BENCH_REPS):
         for cores in (N_SMALL, N_BIG, N_MAX):
             r = time_extract(cores, meta)
             if cores not in best or r["wall_sec"] < best[cores]["wall_sec"]:
                 best[cores] = r
-    return best
+        for k, thr in hw_ceiling([N_SMALL, N_BIG, N_MAX], docs).items():
+            hw_best[k] = max(hw_best.get(k, 0.0), thr)
+    return best, hw_best
 
 
 def main() -> None:
     t_total0 = time.monotonic()
     meta = ensure_corpus()
     queries = time_queries()
-    legs = time_extract_robust(meta)
+    legs, hw = time_extract_robust(meta)
     small, big, maxed = legs[N_SMALL], legs[N_BIG], legs[N_MAX]
     eff = (big["docs_per_sec"] / small["docs_per_sec"]) / (N_BIG / N_SMALL)
     eff_max = (maxed["docs_per_sec"] / big["docs_per_sec"]) / (N_MAX / N_BIG)
-    hw = hw_ceiling([N_SMALL, N_BIG, N_MAX])
     hw_eff = (hw[str(N_BIG)] / hw[str(N_SMALL)]) / (N_BIG / N_SMALL)
     hw_eff_max = (hw[str(N_MAX)] / hw[str(N_BIG)]) / (N_MAX / N_BIG)
     queries[f"extract_local{N_SMALL}"] = small["wall_sec"]
