@@ -1201,7 +1201,8 @@ def _neardup_lsh_pairs(
     groupBy and the two id joins: at 10^12 docs this touches
     O(n·bands + |candidates|) rows, the sub-quadratic scale path. The prune
     factor is threshold-dependent: at production thresholds (≥0.85,
-    bits=8/bands=12) candidates are <5% of all pairs (pinned in
+    bits=8/bands=12) candidates are ~5% of all pairs (measured 5.4-5.6%
+    on this corpus; theoretical 4.6% for isotropic vectors — pinned in
     tests/test_ann.py); at this battery's deliberately-low 0.30 threshold
     the sign-gap is small and the operator's value is recall, not prune."""
     import numpy as np
@@ -1210,21 +1211,38 @@ def _neardup_lsh_pairs(
     e = _valid_embeddings(
         _t_spread(spark, sf_dir, "embeddings")
     ).select("vec_id", "embedding")
-    codes = []
-    for band in range(bands):
-        planes = _rand_planes(bits, seed=101 + band)
-        code = None
-        for j, pl in enumerate(planes):
-            bit = F.when(
-                _vec_dot_plane(F.col("embedding"), pl) > 0, F.lit(1 << j)
-            ).otherwise(F.lit(0))
-            code = bit if code is None else code + bit
-        codes.append(
-            F.struct(F.lit(band).alias("band"), code.alias("code"))
-        )
-    banded = e.select(
-        "vec_id", F.explode(F.array(*codes)).alias("bc")
-    ).select("vec_id", "bc.band", "bc.code")
+    # All bands*bits sign codes in ONE Arrow-batched matmul pass
+    # ((n x 64) @ (64 x bands*bits), then bit-pack per band). The previous
+    # JVM construction built one zip_with+aggregate expression tree PER
+    # plane — higher-order functions are interpreted per element and the
+    # 96-aggregate plan (prod config) cost ~10 s at 2k rows in planning +
+    # interpretation alone. The embedding family already crosses Arrow for
+    # verification; the code stage uses the same crossing.
+    planes_w = np.array(
+        [_rand_planes(bits, seed=101 + band) for band in range(bands)],
+        dtype=np.float64,
+    ).reshape(bands * bits, -1).T  # dim x (bands*bits)
+    pows = (1 << np.arange(bits)).astype(np.int64)
+
+    def band_codes(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            signs = (mat @ planes_w) > 0  # n x (bands*bits)
+            codes_m = signs.reshape(len(mat), bands, bits) @ pows  # n x bands
+            n = len(mat)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), bands),
+                    "band": np.tile(np.arange(bands, dtype=np.int32), n),
+                    "code": codes_m.reshape(-1),
+                }
+            )
+
+    banded = e.mapInPandas(
+        band_codes, schema="vec_id long, band int, code long"
+    )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -1284,13 +1302,40 @@ def q_embedding_neardup_pairs_lsh(spark, sf_dir):
 
 def q_embedding_neardup_pairs_lsh_prod(spark, sf_dir):
     """Production-threshold LSH near-dup: bits=8 x bands=12 at θ=0.9 — the
-    configuration whose candidate rate is <5% of all pairs on random data
+    configuration whose candidate rate is ~5% of all pairs on random data
+    (measured 0.0542-0.0558 here; theoretical 4.6% isotropic)
     (prune pinned in tests/test_ann.py). The registered battery variant
     runs at the deliberately-low 0.30 threshold where the prune is
     vacuous by design; THIS entry is benched alongside it so the headline
     shows the operator at its real operating point (judge item, round 3).
-    Rows-only (probabilistic candidate set)."""
-    return _neardup_lsh_pairs(spark, sf_dir, bits=8, bands=12, threshold=0.9)
+
+    The synthetic corpus has NO pairs at sim ≥ 0.9 (verified against the
+    exact kernel), so instead of an always-empty pair list this entry
+    returns the production diagnostic: total vectors, candidate pairs the
+    banding emitted, verified pairs, and the candidate rate vs all n(n-1)/2
+    pairs — the per-run evidence that the prune is ~5%, not just a
+    pytest pin. Rows-only (probabilistic candidate set)."""
+    cand = _neardup_lsh_pairs(
+        spark, sf_dir, bits=8, bands=12, threshold=0.9, candidates_only=True
+    )
+    verified = _neardup_lsh_pairs(spark, sf_dir, bits=8, bands=12, threshold=0.9)
+    n_vec = (
+        _valid_embeddings(_t(spark, sf_dir, "embeddings"))
+        .agg(F.count("*").alias("n_vectors"))
+    )
+    stats = cand.agg(F.count("*").alias("n_candidates")).crossJoin(
+        verified.agg(F.count("*").alias("n_pairs"))
+    )
+    return n_vec.crossJoin(stats).select(
+        "n_vectors",
+        "n_candidates",
+        "n_pairs",
+        F.round(
+            F.col("n_candidates")
+            / (F.col("n_vectors") * (F.col("n_vectors") - 1) / 2.0),
+            4,
+        ).alias("candidate_rate"),
+    )
 
 
 _LSH_BITS = 4
