@@ -1706,11 +1706,15 @@ def q_ngram_jaccard_pairs(
     with a binding cap in tests/test_dedup.py. The df computation is a
     window over the same key as the join → same shuffle partitioning,
     reused by AQE."""
-    d = _t_spread(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = F.split(F.col("text"), " ")
+    # toks is materialized as a column before the shingle lambda: passing
+    # the split() expression itself embeds 3 copies of it in the lambda
+    # body, re-splitting the text per shingle element (see _shingle_expr).
+    d = _t_spread(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
     sh = d.select(
         "doc_id",
-        F.explode(_shingle_expr(toks)).alias("shingle"),
+        F.explode(_shingle_expr(F.col("toks"))).alias("shingle"),
     ).where(F.length("shingle") > 0)
     sh = (
         sh.withColumn(
@@ -1783,6 +1787,9 @@ def _shingle_expr(toks):
     """Distinct 3-gram shingles of a token array — the ONE definition
     shared by minhash (both layouts) and the exact Jaccard verifier, so
     the signature and the thing it estimates can never desynchronize.
+    CONTRACT: pass a MATERIALIZED column (F.col), never the split()
+    expression — the lambda body references `toks` 3x, and an inlined
+    expression is re-evaluated per shingle element (measured 2-3x slower).
     try_element_at: out-of-range → NULL (matches DuckDB's t[i]); concat_ws
     skips NULLs in both engines, so sub-3-token docs yield their partial
     shingle instead of an ANSI error."""
@@ -1807,9 +1814,10 @@ def _minhash_sig_df(spark, sf_dir):
     q_minhash_signatures projects it to scalar rows because the driver's
     pandas canonicalizer cannot hash list cells (round-1 red row).
     Scale: O(docs x shingles) map-side, no shuffle at all."""
-    d = _t_spread(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    shingles = _shingle_expr(toks)
+    d = _t_spread(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    shingles = _shingle_expr(F.col("toks"))
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(N_MINHASH - 1)),
         lambda k: F.aggregate(
@@ -1850,8 +1858,9 @@ def q_minhash_signatures(spark, sf_dir):
     work to the array version. Non-oracle (engine hash); equality with the
     internal array signature and MinHash ≈ Jaccard are pinned in
     tests/test_dedup.py."""
-    d = _t_spread(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
+    d = _t_spread(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
     sig_k = F.aggregate(
         F.col("shingles"),
         F.lit(None).cast("long"),
@@ -1861,7 +1870,7 @@ def q_minhash_signatures(spark, sf_dir):
         ),
     )
     return (
-        d.select("doc_id", _shingle_expr(toks).alias("shingles"))
+        d.select("doc_id", _shingle_expr(F.col("toks")).alias("shingles"))
         .select(
             "doc_id",
             "shingles",
@@ -2031,8 +2040,12 @@ def q_repetition_metrics(spark, sf_dir):
     obvious alternative (explode → groupBy doc,token → max) shuffles
     n_tokens rows per document.
     """
-    d = _t_spread(spark, sf_dir, "documents")
-    toks = _doc_toks()
+    d = _t_spread(spark, sf_dir, "documents").select(
+        # materialized toks column: inlining the split() expression would
+        # embed 2 copies of it in the bigram lambda, re-splitting per element
+        "doc_id", _doc_toks().alias("toks")
+    )
+    toks = F.col("toks")
     n = F.size(toks)
     zero = F.struct(
         F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
@@ -2117,7 +2130,13 @@ def q_ngram_decontaminate(spark, sf_dir):
     broadcast-hash-join probe directly.
     """
     d = _t_spread(spark, sf_dir, "documents")
-    toks = _doc_toks()
+    # Materialize the token array as a named column BEFORE the gram lambda:
+    # referencing the split() expression inline would embed 4 copies of it
+    # in the lambda body, re-splitting the text per element (multi-ref
+    # non-cheap aliases survive CollapseProject; measured 2x on the warm
+    # explode stage).
+    dm = d.select("doc_id", _doc_toks().alias("toks"))
+    toks = F.col("toks")
     n = F.size(toks)
     grams = F.when(
         n >= 4,
@@ -2134,14 +2153,18 @@ def q_ngram_decontaminate(spark, sf_dir):
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    g = d.select("doc_id", grams.alias("grams"))
+    # Explode the gram EXPRESSION directly instead of a named array column:
+    # with a named column, InferFiltersFromGenerate infers size(grams)>0 and
+    # pushes it below the projection, substituting the whole gram lambda
+    # (split re-inlined 4x) into the scan filter — the stage ran 13x slower
+    # (4.4 s vs 0.33 s at sf0.1) computing every gram twice.
     bench = (
-        g.where(F.col("doc_id") % 10 == 7)
-        .select(F.explode("grams").alias("gram"))
+        dm.where(F.col("doc_id") % 10 == 7)
+        .select(F.explode(grams).alias("gram"))
         .distinct()
     )
-    corpus = g.where(F.col("doc_id") % 10 != 7).select(
-        "doc_id", F.explode("grams").alias("gram")
+    corpus = dm.where(F.col("doc_id") % 10 != 7).select(
+        "doc_id", F.explode(grams).alias("gram")
     )
     return (
         corpus.join(F.broadcast(bench), "gram")
@@ -2183,8 +2206,10 @@ def q_passage_dedup(spark, sf_dir):
     the shuffle to move 32-byte keys instead of text (exactly the
     digest-not-text trick pinned for dedup_exact).
     """
-    d = _t_spread(spark, sf_dir, "documents")
-    toks = _doc_toks()
+    d = _t_spread(spark, sf_dir, "documents").select(
+        "doc_id", _doc_toks().alias("toks")  # materialized: see repetition
+    )
+    toks = F.col("toks")
     n_chunks = F.ceil(F.size(toks) / F.lit(10.0)).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
