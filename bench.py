@@ -103,6 +103,7 @@ HEADLINE = [
     "ngram_decontaminate",
     "passage_dedup",
     "mixture_sample",
+    "sequence_pack",
     "token_count",
     "lang_id_heuristic",
     "token_correction_stats",

@@ -2288,6 +2288,58 @@ def _sql_mixture_sample():
     """
 
 
+SEQ_PACK_BUDGET = 512
+
+
+def q_sequence_pack(spark, sf_dir):
+    """Training-sequence packing: assign each document to a fixed
+    token-budget training sequence (greedy in-order packing, the standard
+    pretraining batch-construction step). Documents are packed per SOURCE
+    stratum in doc_id order: seq_idx = floor((running_token_total -
+    n_toks) / budget) — i.e. a document starts a new sequence when the
+    budget its predecessors consumed crosses a boundary.
+
+    Scale story: ONE shuffle keyed by source for the ordered running-sum
+    window; within-stratum order is doc_id (deterministic, rerun-stable).
+    A GLOBAL packing order would serialize on one partition — per-stratum
+    packing is what a real pipeline does anyway (mixtures are packed per
+    source/domain). Budget 512 at test scale; the operator is
+    budget-parametric."""
+    d = _t(spark, sf_dir, "documents")
+    n_toks = F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " "))
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum("n_toks").over(w)
+    return (
+        d.select("doc_id", "source", n_toks.alias("n_toks"))
+        .select(
+            "doc_id",
+            "source",
+            "n_toks",
+            F.floor((cum - F.col("n_toks")) / float(SEQ_PACK_BUDGET)).alias(
+                "seq_idx"
+            ),
+        )
+    )
+
+
+def _sql_sequence_pack():
+    return f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(string_split(coalesce(text,''),' ')) AS n_toks
+      FROM documents)
+    SELECT doc_id, source, n_toks,
+      CAST(floor((sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks)
+           / {float(SEQ_PACK_BUDGET)}) AS BIGINT) AS seq_idx
+    FROM t
+    """
+
+
 N_MULTIMODAL_MEDIA = 500
 
 
@@ -2769,6 +2821,7 @@ _reg("repetition_metrics", q_repetition_metrics, _sql_repetition_metrics())
 _reg("ngram_decontaminate", q_ngram_decontaminate, _sql_ngram_decontaminate())
 _reg("passage_dedup", q_passage_dedup, _sql_passage_dedup())
 _reg("mixture_sample", q_mixture_sample, _sql_mixture_sample())
+_reg("sequence_pack", q_sequence_pack, _sql_sequence_pack())
 _reg("minhash_signatures", q_minhash_signatures, None)
 _reg("lsh_bucket_candidates", q_lsh_bucket_candidates, None)
 _reg("simhash_fingerprint", q_simhash_fingerprint, None)

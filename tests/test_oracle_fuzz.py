@@ -83,6 +83,7 @@ DOC_QUERIES = [
     "ngram_decontaminate",
     "passage_dedup",
     "mixture_sample",
+    "sequence_pack",
 ]
 EVENT_QUERIES = [
     "json_funcs",

@@ -198,3 +198,15 @@ def test_mixture_sample_single_shuffle(spark):
     assert plan.count("Exchange") == 1
     assert "md5" in plan
     assert "partial_count" in plan or "partial" in plan
+
+
+def test_sequence_pack_single_shuffle_jvm(spark):
+    """Per-stratum packing = one source-keyed hash shuffle for the ordered
+    running-sum window; no Python, no global sort."""
+    from engine.queries import q_sequence_pack
+
+    plan = _plan(q_sequence_pack(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan  # no global order
+    for py in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
+        assert py not in plan
