@@ -2077,11 +2077,20 @@ def q_repetition_metrics(spark, sf_dir):
         4,
     )
     top_frac = F.round(top_cnt.cast("double") / n, 4)
-    return d.select(
+    # two projections: deriving `keep` from the ALIASED columns instead of
+    # the frac expressions — inlining would duplicate both interpreted fold
+    # trees (no CSE across interpreted HOFs; measured ~2x)
+    metrics = d.select(
         "doc_id",
         top_frac.alias("top_word_frac"),
         dup_frac.alias("dup_bigram_frac"),
-        F.when((top_frac <= 0.2) & (dup_frac <= 0.5), 1)
+    )
+    return metrics.select(
+        "*",
+        F.when(
+            (F.col("top_word_frac") <= 0.2) & (F.col("dup_bigram_frac") <= 0.5),
+            1,
+        )
         .otherwise(0)
         .alias("keep"),
     )
