@@ -6,6 +6,8 @@ Verbs map 1:1 to the reference controller's:
   enqueue  → size a run + commit a pending manifest         (emop_submit [U])
   run      → process pending partitions in committed waves  (emop_run    [U])
   retry    → re-extract failed urls (MERGE-emulated)        (retry semantics)
+  increment→ extract only urls absent from base runs; output unions with
+             the bases into one logical table (snapshot-append semantics)
   rollup   → per-run/partition metrics rollup               (emop_upload [U])
   compact  → rewrite a completed run's output at target file size
              (small-files table maintenance; no reference analog — the
@@ -92,6 +94,22 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--run-id", required=True)
     cp.add_argument("--target-file-mb", type=int, default=128)
 
+    ip = sub.add_parser(
+        "increment",
+        description="Incremental append: extract ONLY urls no base run has "
+        "committed, as a new run whose output unions with the bases into "
+        "one logical table (enqueue_increment + run in one verb).",
+    )
+    ip.add_argument("--pages", required=True, help="the new crawl")
+    ip.add_argument("--runs-root", required=True)
+    ip.add_argument(
+        "--base-run-ids", required=True,
+        help="comma-separated run ids already committed",
+    )
+    ip.add_argument("--run-id", help="id for the new increment run")
+    ip.add_argument("--target-partition-mb", type=int, default=64)
+    ip.add_argument("--wave-size", type=int, default=8)
+
     xp = sub.add_parser("export")
     xp.add_argument("--runs-root", required=True)
     xp.add_argument("--run-id", required=True)
@@ -159,6 +177,26 @@ def main(argv: list[str] | None = None) -> int:
             spark, pages, m, wave_size=a.wave_size, max_waves=a.max_waves
         )
         print(json.dumps(res))
+    elif a.verb == "increment":
+        from engine.jobs.extract_job import enqueue_increment
+
+        pages = spark.read.parquet(a.pages)
+        m, new_pages = enqueue_increment(
+            spark,
+            pages,
+            a.runs_root,
+            a.base_run_ids.split(","),
+            target_partition_bytes=a.target_partition_mb << 20,
+            run_id=a.run_id,
+        )
+        if m is None:
+            print(json.dumps({"run_id": None, "docs_processed": 0,
+                              "complete": True, "note": "nothing new"}))
+        else:
+            res = run_extract_job(
+                spark, new_pages, m, wave_size=a.wave_size
+            )
+            print(json.dumps(res))
     elif a.verb == "retry":
         pages = spark.read.parquet(a.pages)
         m = RunManifest.load(a.runs_root, a.run_id)

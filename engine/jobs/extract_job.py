@@ -49,7 +49,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from engine.extract.core import EXTRACTOR_VERSION
-from engine.extract.udf import extract_batches
+from engine.extract.udf import dedup_latest_crawl, extract_batches
 from engine.manifest import RunManifest
 from engine.schema import EXTRACTED_DDL
 
@@ -428,6 +428,77 @@ def read_current_extracted(spark: SparkSession, manifest: RunManifest) -> DataFr
         .where(F.col("_rn") == 1)
         .drop("_rn", "attempt")
     )
+
+
+def enqueue_increment(
+    spark: SparkSession,
+    pages: DataFrame,
+    runs_root: str,
+    base_run_ids: list[str],
+    target_partition_bytes: int = DEFAULT_TARGET_PARTITION_BYTES,
+    min_partitions: int = 8,
+    run_id: str | None = None,
+) -> tuple[RunManifest | None, DataFrame]:
+    """Incremental append — the daily-crawl-increment verb every table-
+    maintaining pipeline needs: enqueue ONLY the urls no base run has
+    already committed, as a NEW run whose output unions with the bases
+    into one logical table (read_extracted_across).
+
+    Contract (v1, url-level): a url any base run committed is skipped even
+    if the increment carries a re-crawl with a newer warc_ts — the per-url
+    byte-identity invariant is defined over the latest-crawl view of ONE
+    ingest, and re-extracting re-crawls is the retry/force domain. Within
+    the increment itself, re-crawl duplicates collapse latest-wins first
+    (dedup_latest_crawl), same as a base ingest.
+
+    Scale: the anti-join shuffles the increment (a day's crawl — the small
+    side) against the bases' committed urls read COLUMN-PRUNED (url only;
+    parquet never materializes text/spans). Base extracted tables are laid
+    out partitionBy(partition_id = pmod(hash(url), n)), so a production
+    deployment co-partitions the increment with the same hash and prunes
+    per directory; at 10^12 the anti-join is the standard snapshot-append
+    dedup any Iceberg writer performs. Returns (manifest, new_pages) —
+    manifest is None when the increment contains nothing new (no run
+    directory is created)."""
+    latest = dedup_latest_crawl(pages)
+    done_urls = None
+    for rid in base_run_ids:
+        m = RunManifest.load(runs_root, rid)
+        u = read_current_extracted(spark, m).select("url")
+        done_urls = u if done_urls is None else done_urls.unionByName(u)
+    new_pages = latest
+    if done_urls is not None:
+        new_pages = latest.join(done_urls.distinct(), "url", "left_anti")
+    if new_pages.limit(1).count() == 0:
+        return None, new_pages
+    manifest = enqueue(
+        spark,
+        new_pages,
+        runs_root,
+        target_partition_bytes,
+        min_partitions,
+        run_id=run_id,
+    )
+    return manifest, new_pages
+
+
+def read_extracted_across(
+    spark: SparkSession, runs_root: str, run_ids: list[str]
+) -> DataFrame:
+    """One logical extracted table across a base run and its increments:
+    union of each run's CURRENT view (latest retry attempt per url).
+    Url-disjointness across runs holds by construction — enqueue_increment
+    anti-joins every committed base url — so this is a plain union (no
+    extra url-shuffle per read); the invariant is pinned in
+    tests/test_resume.py."""
+    out = None
+    for rid in run_ids:
+        m = RunManifest.load(runs_root, rid)
+        cur = read_current_extracted(spark, m)
+        out = cur if out is None else out.unionByName(cur)
+    if out is None:
+        raise ValueError("run_ids must be non-empty")
+    return out
 
 
 def export_run(

@@ -341,3 +341,58 @@ def test_fresh_run_reads_as_empty(spark, pages, tmp_path):
     assert read_extracted(spark, man).count() == 0
     assert retry_failed(spark, pages, man) == {"retried": 0}
     assert read_lineage(spark, man).count() == 0
+
+
+def test_increment_extracts_only_new_urls(spark, pages, tmp_path):
+    """Incremental append (daily-crawl increment): a second crawl that is a
+    superset of the base extracts EXACTLY the never-seen urls, the union
+    view is url-disjoint and complete, and an increment with nothing new
+    creates no run."""
+    from engine.jobs.extract_job import (
+        enqueue_increment,
+        read_extracted,
+        read_extracted_across,
+    )
+
+    root = str(tmp_path / "runs")
+    man = enqueue(spark, pages, root, run_id="base")
+    run_extract_job(spark, pages, man)
+
+    # the new crawl: superset corpus (prefix-stable synth → the base's
+    # urls re-appear, some as re-crawls) + genuinely new docs
+    bigger = generate_pages(spark, N_DOCS + 150, partitions=4)
+    base_urls = {r["url"] for r in pages.select("url").distinct().collect()}
+    new_urls = {
+        r["url"] for r in bigger.select("url").distinct().collect()
+    } - base_urls
+    assert new_urls  # sanity: the superset really adds urls
+
+    inc, new_pages = enqueue_increment(spark, bigger, root, ["base"],
+                                       run_id="inc1")
+    assert inc is not None
+    res = run_extract_job(spark, new_pages, inc)
+    assert res["complete"]
+    inc_urls = {
+        r["url"]
+        for r in read_extracted(spark, inc).select("url").distinct().collect()
+    }
+    assert inc_urls == new_urls  # only the new docs were processed
+
+    # one logical table: disjoint by construction, complete
+    across = read_extracted_across(spark, root, ["base", "inc1"])
+    assert across.select("url").distinct().count() == len(base_urls) + len(
+        new_urls
+    )
+    # the CURRENT view is one row per url per run, and runs are
+    # url-disjoint → the union is one row per url, full stop
+    assert across.count() == len(base_urls) + len(new_urls)
+
+    # idempotent: re-incrementing the same crawl finds nothing new
+    inc2, leftover = enqueue_increment(
+        spark, bigger, root, ["base", "inc1"], run_id="inc2"
+    )
+    assert inc2 is None
+    assert leftover.count() == 0
+    import os
+
+    assert not os.path.exists(os.path.join(root, "inc2"))
