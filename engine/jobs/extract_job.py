@@ -464,6 +464,14 @@ def enqueue_increment(
     done_urls = None
     for rid in base_run_ids:
         m = RunManifest.load(runs_root, rid)
+        if not m.is_complete():
+            # an incomplete base would hand its PENDING urls to the
+            # increment; when the base later resumes, those urls exist in
+            # both runs and the union view stops being url-disjoint
+            raise RuntimeError(
+                f"base run {rid} has {len(m.pending_partitions())} pending "
+                "partitions — complete (or retry) it before incrementing"
+            )
         u = read_current_extracted(spark, m).select("url")
         done_urls = u if done_urls is None else done_urls.unionByName(u)
     new_pages = latest

@@ -396,3 +396,16 @@ def test_increment_extracts_only_new_urls(spark, pages, tmp_path):
     import os
 
     assert not os.path.exists(os.path.join(root, "inc2"))
+
+
+def test_increment_refuses_incomplete_base(spark, pages, tmp_path):
+    """Incrementing against an incomplete base would hand the base's
+    pending urls to the increment; when the base later resumes, the union
+    view would stop being url-disjoint — refused up front."""
+    from engine.jobs.extract_job import enqueue_increment
+
+    root = str(tmp_path / "runs")
+    man = enqueue(spark, pages, root, min_partitions=12, run_id="partial")
+    run_extract_job(spark, pages, man, wave_size=4, max_waves=1)
+    with pytest.raises(RuntimeError, match="pending"):
+        enqueue_increment(spark, pages, root, ["partial"])
