@@ -254,3 +254,23 @@ def test_pdf_leading_operators():
 def test_pdf_branch_never_raises(data):
     rec = extract_document(b"%PDF-" + data)
     assert rec["status"] in ("ok", "failed")
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=2048))
+def test_spans_valid_on_arbitrary_html(txt):
+    """Property: for ANY input that extracts ok, every span indexes into
+    the decoded source (0 <= start < end <= len) and spans are ordered and
+    non-overlapping — the lineage offsets must never dangle, whatever the
+    markup looks like."""
+    raw = ("<html><body><div>" + txt).encode("utf-8")
+    rec = extract_document(raw)
+    if rec["status"] != "ok":
+        return
+    src = raw.decode("utf-8", errors="replace")
+    prev_end = 0
+    for sp in rec["spans"]:
+        assert 0 <= sp["start"] < sp["end"] <= len(src)
+        assert sp["start"] >= prev_end
+        prev_end = sp["end"]
+        assert sp["node_path"]
