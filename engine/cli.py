@@ -112,7 +112,11 @@ def main(argv: list[str] | None = None) -> int:
 
     xp = sub.add_parser("export")
     xp.add_argument("--runs-root", required=True)
-    xp.add_argument("--run-id", required=True)
+    xp.add_argument(
+        "--run-id", required=True,
+        help="one run id, or comma-separated base,increment,... to export "
+        "the logical table across runs in one CTAS",
+    )
     xp.add_argument("--dest", required=True)
     xp.add_argument(
         "--format", default="parquet", choices=["parquet", "orc", "json"]
@@ -202,7 +206,11 @@ def main(argv: list[str] | None = None) -> int:
         m = RunManifest.load(a.runs_root, a.run_id)
         print(json.dumps(retry_failed(spark, pages, m)))
     elif a.verb == "export":
-        m = RunManifest.load(a.runs_root, a.run_id)
+        ms = [
+            RunManifest.load(a.runs_root, rid)
+            for rid in a.run_id.split(",")
+        ]
+        m = ms if len(ms) > 1 else ms[0]
         print(json.dumps(export_run(spark, m, a.dest, fmt=a.format)))
     elif a.verb == "compact":
         from engine.jobs.extract_job import compact_run

@@ -511,20 +511,28 @@ def read_extracted_across(
 
 def export_run(
     spark: SparkSession,
-    manifest: RunManifest,
+    manifest: RunManifest | list[RunManifest],
     dest: str,
     fmt: str = "parquet",
 ) -> dict:
     """Q8 transfer analog (emop/lib/emop_transfer.py [U] — Globus stage-out
     between storages): publish a run's CURRENT extracted view (latest
     attempt per url) to a destination warehouse path, CTAS-style. Refuses
-    incomplete runs — the reference only uploads completed payloads."""
-    if not manifest.is_complete():
-        raise RuntimeError(
-            f"run {manifest.run_id} has "
-            f"{len(manifest.pending_partitions())} pending partitions"
-        )
-    cur = read_current_extracted(spark, manifest)
+    incomplete runs — the reference only uploads completed payloads.
+    A LIST of manifests publishes the logical table across a base run and
+    its increments (read_extracted_across semantics) in one CTAS."""
+    manifests = manifest if isinstance(manifest, list) else [manifest]
+    for m in manifests:
+        if not m.is_complete():
+            raise RuntimeError(
+                f"run {m.run_id} has "
+                f"{len(m.pending_partitions())} pending partitions"
+            )
+    cur = None
+    for m in manifests:
+        v = read_current_extracted(spark, m)
+        cur = v if cur is None else cur.unionByName(v)
+    run_label = ",".join(m.run_id for m in manifests)
     writer = cur.write.mode("overwrite")
     if fmt == "parquet":
         writer.parquet(dest)
@@ -535,7 +543,7 @@ def export_run(
     else:
         raise ValueError(f"unsupported export format: {fmt}")
     n = spark.read.format(fmt).load(dest).count()
-    return {"run_id": manifest.run_id, "dest": dest, "format": fmt, "rows": n}
+    return {"run_id": run_label, "dest": dest, "format": fmt, "rows": n}
 
 
 def compact_run(

@@ -2211,9 +2211,10 @@ def q_passage_dedup(spark, sf_dir):
     one row per chunk, ONE shuffle keyed by chunk content for the
     first-occurrence window, one bounded groupBy(doc_id) to reassemble.
     Chunk keys are near-unique so the window partitions are tiny (skew-free
-    by construction); at 100 TB the chunk column would be sha2-hashed before
-    the shuffle to move 32-byte keys instead of text (exactly the
-    digest-not-text trick pinned for dedup_exact).
+    by construction); the window partitions on sha2(chunk) so the shuffle
+    key is 32 bytes, not text (the digest-not-text trick pinned for
+    dedup_exact — plan-pinned here too). The DuckDB oracle partitions on
+    the chunk itself: identical results absent a sha2 collision.
     """
     d = _t_spread(spark, sf_dir, "documents").select(
         "doc_id", _doc_toks().alias("toks")  # materialized: see repetition
@@ -2225,7 +2226,10 @@ def q_passage_dedup(spark, sf_dir):
         lambda p: F.concat_ws(" ", F.slice(toks, p * 10 + 1, 10)),
     )
     ex = d.select("doc_id", F.posexplode(chunks).alias("pos", "chunk"))
-    w = W.partitionBy("chunk").orderBy("doc_id", "pos")
+    # the first-occurrence shuffle moves the 32-byte sha2 digest, not the
+    # chunk text (the dedup_exact digest-not-text trick); the chunk column
+    # rides along for reassembly but the partitioning key is bounded-width
+    w = W.partitionBy(F.sha2("chunk", 256)).orderBy("doc_id", "pos")
     kept = ex.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
     return kept.groupBy("doc_id").agg(
         F.count("*").alias("n_kept"),

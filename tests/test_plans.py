@@ -179,12 +179,15 @@ def test_decontaminate_broadcasts_benchmark_grams(spark):
 
 
 def test_passage_dedup_two_shuffles(spark):
-    """Corpus-wide passage dedup = exactly two hash shuffles: chunk-keyed
-    first-occurrence window + doc_id reassembly groupBy."""
+    """Corpus-wide passage dedup = exactly two hash shuffles: digest-keyed
+    first-occurrence window + doc_id reassembly groupBy. The window shuffle
+    key is sha2(chunk) (32 bytes), never the chunk text."""
     from engine.queries import q_passage_dedup
 
     plan = _plan(q_passage_dedup(spark, SF))
     assert plan.count("Exchange hashpartitioning") == 2
+    assert "sha2" in plan
+    assert "hashpartitioning(chunk#" not in plan
     for py in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
         assert py not in plan
 

@@ -409,3 +409,18 @@ def test_increment_refuses_incomplete_base(spark, pages, tmp_path):
     run_extract_job(spark, pages, man, wave_size=4, max_waves=1)
     with pytest.raises(RuntimeError, match="pending"):
         enqueue_increment(spark, pages, root, ["partial"])
+
+
+def test_export_across_base_and_increment(spark, pages, tmp_path):
+    from engine.jobs.extract_job import enqueue_increment
+
+    root = str(tmp_path / "runs")
+    man = enqueue(spark, pages, root, run_id="base")
+    run_extract_job(spark, pages, man)
+    bigger = generate_pages(spark, N_DOCS + 100, partitions=4)
+    inc, new_pages = enqueue_increment(spark, bigger, root, ["base"],
+                                       run_id="inc")
+    run_extract_job(spark, new_pages, inc)
+    res = export_run(spark, [man, inc], str(tmp_path / "table"))
+    assert res["run_id"] == "base,inc"
+    assert res["rows"] == bigger.select("url").distinct().count()
