@@ -98,6 +98,22 @@ def extract_batches_arrow(batches):
         )
 
 
+def extract_batches_arrow_with_pid(batches):
+    """mapInArrow body with partition_id passthrough — the job-path twin of
+    extract_batches_arrow (wave-committed runs carry partition_id through
+    the channel for partitioned writes + lineage). Same extract_document,
+    same +12% arrow surface as run_extract."""
+    import pyarrow as pa
+
+    for batch in batches:
+        pid = batch.column("partition_id")
+        for out in extract_batches_arrow(iter([batch])):
+            yield pa.RecordBatch.from_arrays(
+                [out.column(i) for i in range(out.num_columns)] + [pid],
+                names=list(out.schema.names) + ["partition_id"],
+            )
+
+
 def run_extract(pages_df):
     """pages → extracted, via mapInArrow (the measured-faster surface; see
     module doc). Column-prunes to (url, html) before the UDF so only the

@@ -49,7 +49,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from engine.extract.core import EXTRACTOR_VERSION
-from engine.extract.udf import dedup_latest_crawl, extract_batches
+from engine.extract.udf import (
+    dedup_latest_crawl,
+    extract_batches_arrow_with_pid,
+)
 from engine.manifest import RunManifest
 from engine.schema import EXTRACTED_DDL
 
@@ -220,8 +223,9 @@ def run_extract_job(
             batch = spark.read.parquet(staged).where(
                 F.col("partition_id").isin(wave)
             )
-        extracted = batch.select("url", "html", "partition_id").mapInPandas(
-            _extract_with_pid, schema=EXTRACTED_DDL + ", partition_id int"
+        extracted = batch.select("url", "html", "partition_id").mapInArrow(
+            extract_batches_arrow_with_pid,
+            schema=EXTRACTED_DDL + ", partition_id int",
         )
         (
             extracted.write.mode("overwrite")
@@ -288,17 +292,6 @@ def run_extract_job(
         "docs_processed": done_docs,
         "complete": manifest.is_complete(),
     }
-
-
-def _extract_with_pid(batches):
-    """Fused extract UDF, passing partition_id through the Arrow channel."""
-    import pandas as pd  # noqa: F401  (worker-side import)
-
-    for pdf in batches:
-        pids = pdf["partition_id"]
-        for out in extract_batches(iter([pdf])):
-            out["partition_id"] = pids.to_numpy()
-            yield out
 
 
 def read_lineage(spark: SparkSession, manifest: RunManifest) -> DataFrame:
@@ -371,8 +364,9 @@ def retry_failed(
         return {"retried": 0}
     attempt = _next_retry_attempt(manifest)
     t0 = time.monotonic()
-    redone = todo.select("url", "html", "partition_id").mapInPandas(
-        _extract_with_pid, schema=EXTRACTED_DDL + ", partition_id int"
+    redone = todo.select("url", "html", "partition_id").mapInArrow(
+        extract_batches_arrow_with_pid,
+        schema=EXTRACTED_DDL + ", partition_id int",
     ).withColumn("attempt", F.lit(attempt))
     retry_path = manifest.extracted_path + "_retry"
     redone.write.mode("append").partitionBy("partition_id").parquet(retry_path)
@@ -457,9 +451,40 @@ def enqueue_increment(
     out partitionBy(partition_id = pmod(hash(url), n)), so a production
     deployment co-partitions the increment with the same hash and prunes
     per directory; at 10^12 the anti-join is the standard snapshot-append
-    dedup any Iceberg writer performs. Returns (manifest, new_pages) —
-    manifest is None when the increment contains nothing new (no run
-    directory is created)."""
+    dedup any Iceberg writer performs.
+
+    Durability: the anti-joined page set is materialized ONCE to
+    <run_dir>/increment_input BEFORE any extraction — it is both the
+    single evaluation of the expensive join (the sizing agg and the run
+    re-read the parquet, not the join) and the resume source: re-calling
+    enqueue_increment with the same run_id after a mid-run kill returns
+    the recorded input, so a resume can never see (and re-extract) base
+    urls from the raw crawl, which would silently break the cross-run
+    url-disjointness invariant. A production deployment would expire the
+    recorded input once the run completes; it is kept here as the
+    increment's audit record. Returns (manifest, new_pages) — manifest is
+    None when the increment contains nothing new (no run directory is
+    created)."""
+    import os
+    import shutil
+    import uuid as _uuid
+
+    run_id = run_id or ("inc-" + _uuid.uuid4().hex[:12])
+    input_path = os.path.join(runs_root, run_id, "increment_input")
+    existing = RunManifest(runs_root, run_id)
+    if existing.path.exists():
+        if not os.path.exists(input_path):
+            raise RuntimeError(
+                f"run {run_id} has a manifest but no increment_input — "
+                "either it is not an increment run, or a crash hit the "
+                "window between manifest commit and input publication; "
+                "re-create it with enqueue(force=True)"
+            )
+        return (
+            RunManifest.load(runs_root, run_id),
+            spark.read.parquet(input_path),
+        )
+
     latest = dedup_latest_crawl(pages)
     done_urls = None
     for rid in base_run_ids:
@@ -477,17 +502,38 @@ def enqueue_increment(
     new_pages = latest
     if done_urls is not None:
         new_pages = latest.join(done_urls.distinct(), "url", "left_anti")
-    if new_pages.limit(1).count() == 0:
+    tmp = os.path.join(runs_root, f".{run_id}.input.tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    new_pages.write.mode("overwrite").parquet(tmp)
+    mat = spark.read.parquet(tmp)
+    if mat.limit(1).count() == 0:
+        shutil.rmtree(tmp, ignore_errors=True)
         return None, new_pages
     manifest = enqueue(
         spark,
-        new_pages,
+        mat,
         runs_root,
         target_partition_bytes,
         min_partitions,
         run_id=run_id,
     )
-    return manifest, new_pages
+    os.rename(tmp, input_path)  # the manifest dir exists now
+    return manifest, spark.read.parquet(input_path)
+
+
+def _union_current(
+    spark: SparkSession, manifests: list[RunManifest]
+) -> DataFrame:
+    """Union of each run's CURRENT view — the one definition shared by
+    read_extracted_across and multi-run export, so cross-run semantics
+    cannot drift between the read path and the publish path."""
+    out = None
+    for m in manifests:
+        cur = read_current_extracted(spark, m)
+        out = cur if out is None else out.unionByName(cur)
+    if out is None:
+        raise ValueError("manifests must be non-empty")
+    return out
 
 
 def read_extracted_across(
@@ -499,14 +545,9 @@ def read_extracted_across(
     anti-joins every committed base url — so this is a plain union (no
     extra url-shuffle per read); the invariant is pinned in
     tests/test_resume.py."""
-    out = None
-    for rid in run_ids:
-        m = RunManifest.load(runs_root, rid)
-        cur = read_current_extracted(spark, m)
-        out = cur if out is None else out.unionByName(cur)
-    if out is None:
-        raise ValueError("run_ids must be non-empty")
-    return out
+    return _union_current(
+        spark, [RunManifest.load(runs_root, rid) for rid in run_ids]
+    )
 
 
 def export_run(
@@ -528,10 +569,7 @@ def export_run(
                 f"run {m.run_id} has "
                 f"{len(m.pending_partitions())} pending partitions"
             )
-    cur = None
-    for m in manifests:
-        v = read_current_extracted(spark, m)
-        cur = v if cur is None else cur.unionByName(v)
+    cur = _union_current(spark, manifests)
     run_label = ",".join(m.run_id for m in manifests)
     writer = cur.write.mode("overwrite")
     if fmt == "parquet":

@@ -1054,11 +1054,14 @@ def q_embedding_neardup_pairs(spark, sf_dir):
     input vectors the kernel raises instead of silently launching an n²
     job — callers at scale are pointed at the two scale paths."""
     e = _valid_embeddings(_t(spark, sf_dir, "embeddings"), keep_norm2=True)
-    n = e.count()
+    # limit(cap+1) bounds the guard's scan to the cap regardless of input
+    # size (a bare count() would eagerly scan the whole table every time
+    # the query is merely CONSTRUCTED at oracle scale)
+    n = e.limit(ORACLE_KERNEL_MAX_ROWS + 1).count()
     if n > ORACLE_KERNEL_MAX_ROWS:
         raise RuntimeError(
             f"embedding_neardup_pairs is the O(n^2) oracle kernel, capped "
-            f"at {ORACLE_KERNEL_MAX_ROWS} vectors (got {n}); use "
+            f"at {ORACLE_KERNEL_MAX_ROWS} vectors; use "
             "embedding_neardup_pairs_fast (exact) or _lsh (sub-quadratic) "
             "above oracle scale"
         )
@@ -1188,6 +1191,7 @@ def _neardup_lsh_pairs(
     bands: int,
     threshold: float,
     candidates_only: bool = False,
+    keep_all: bool = False,
 ) -> DataFrame:
     """Banded sign-LSH near-dup pairs: candidates from band-bucket joins,
     then exact cosine verification over the candidate set only.
@@ -1273,7 +1277,9 @@ def _neardup_lsh_pairs(
                 / (np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)),
                 4,
             )
-            keep = sims >= threshold
+            # keep_all: every candidate leaves with its sim (the
+            # single-pass diagnostics mode); default: threshold filter
+            keep = slice(None) if keep_all else sims >= threshold
             yield pd.DataFrame(
                 {
                     "vec_a": pdf["vec_a"].to_numpy()[keep],
@@ -1315,16 +1321,20 @@ def q_embedding_neardup_pairs_lsh_prod(spark, sf_dir):
     banding emitted, verified pairs, and the candidate rate vs all n(n-1)/2
     pairs — the per-run evidence that the prune is ~5%, not just a
     pytest pin. Rows-only (probabilistic candidate set)."""
-    cand = _neardup_lsh_pairs(
-        spark, sf_dir, bits=8, bands=12, threshold=0.9, candidates_only=True
+    # ONE pipeline pass: every candidate leaves the verify stage with its
+    # sim, and candidate/verified counts fall out of a single aggregate
+    # (building the pipeline twice — candidates_only then verified — would
+    # double the cost of this headline entry)
+    scored = _neardup_lsh_pairs(
+        spark, sf_dir, bits=8, bands=12, threshold=0.9, keep_all=True
     )
-    verified = _neardup_lsh_pairs(spark, sf_dir, bits=8, bands=12, threshold=0.9)
     n_vec = (
         _valid_embeddings(_t(spark, sf_dir, "embeddings"))
         .agg(F.count("*").alias("n_vectors"))
     )
-    stats = cand.agg(F.count("*").alias("n_candidates")).crossJoin(
-        verified.agg(F.count("*").alias("n_pairs"))
+    stats = scored.agg(
+        F.count("*").alias("n_candidates"),
+        F.sum(F.when(F.col("sim") >= 0.9, 1).otherwise(0)).alias("n_pairs"),
     )
     return n_vec.crossJoin(stats).select(
         "n_vectors",

@@ -424,3 +424,43 @@ def test_export_across_base_and_increment(spark, pages, tmp_path):
     res = export_run(spark, [man, inc], str(tmp_path / "table"))
     assert res["run_id"] == "base,inc"
     assert res["rows"] == bigger.select("url").distinct().count()
+
+
+def test_increment_killed_midrun_resumes_from_recorded_input(
+    spark, pages, tmp_path
+):
+    """A mid-run kill of an increment must resume from the RECORDED
+    anti-joined input — never the raw crawl — or base-committed urls would
+    be re-extracted into the increment and break cross-run disjointness."""
+    from engine.jobs.extract_job import (
+        enqueue_increment,
+        read_extracted,
+        read_extracted_across,
+    )
+
+    root = str(tmp_path / "runs")
+    man = enqueue(spark, pages, root, run_id="base")
+    run_extract_job(spark, pages, man)
+    base_urls = {r["url"] for r in pages.select("url").distinct().collect()}
+
+    bigger = generate_pages(spark, N_DOCS + 120, partitions=4)
+    inc, new_pages = enqueue_increment(
+        spark, bigger, root, ["base"], run_id="inc", min_partitions=8
+    )
+    run_extract_job(spark, new_pages, inc, wave_size=4, max_waves=1)  # kill
+
+    # resume: same call, same run_id — returns the durable recorded input
+    inc2, resumed_pages = enqueue_increment(
+        spark, bigger, root, ["base"], run_id="inc"
+    )
+    assert inc2.run_id == "inc"
+    assert resumed_pages.count() == new_pages.count()
+    run_extract_job(spark, resumed_pages, inc2)
+
+    inc_urls = {
+        r["url"]
+        for r in read_extracted(spark, inc2).select("url").distinct().collect()
+    }
+    assert not (inc_urls & base_urls)  # disjointness survived the kill
+    across = read_extracted_across(spark, root, ["base", "inc"])
+    assert across.count() == across.select("url").distinct().count()
