@@ -9,6 +9,8 @@ Verbs map 1:1 to the reference controller's:
   increment→ extract only urls absent from base runs; output unions with
              the bases into one logical table (snapshot-append semantics)
   rollup   → per-run/partition metrics rollup               (emop_upload [U])
+  vacuum   → expire a completed run's recoverable artifacts (staged
+             leftovers, increment_input, compaction backup)
   compact  → rewrite a completed run's output at target file size
              (small-files table maintenance; no reference analog — the
              reference's payloads are single files by construction)
@@ -110,6 +112,14 @@ def main(argv: list[str] | None = None) -> int:
     ip.add_argument("--target-partition-mb", type=int, default=64)
     ip.add_argument("--wave-size", type=int, default=8)
 
+    vp = sub.add_parser(
+        "vacuum",
+        description="Expire a completed run's recoverable artifacts "
+        "(staged leftovers, increment_input, compaction backup).",
+    )
+    vp.add_argument("--runs-root", required=True)
+    vp.add_argument("--run-id", required=True)
+
     xp = sub.add_parser("export")
     xp.add_argument("--runs-root", required=True)
     xp.add_argument(
@@ -205,6 +215,11 @@ def main(argv: list[str] | None = None) -> int:
         pages = spark.read.parquet(a.pages)
         m = RunManifest.load(a.runs_root, a.run_id)
         print(json.dumps(retry_failed(spark, pages, m)))
+    elif a.verb == "vacuum":
+        from engine.jobs.extract_job import vacuum_run
+
+        m = RunManifest.load(a.runs_root, a.run_id)
+        print(json.dumps(vacuum_run(spark, m)))
     elif a.verb == "export":
         ms = [
             RunManifest.load(a.runs_root, rid)

@@ -473,17 +473,18 @@ def enqueue_increment(
     input_path = os.path.join(runs_root, run_id, "increment_input")
     existing = RunManifest(runs_root, run_id)
     if existing.path.exists():
+        loaded = RunManifest.load(runs_root, run_id)
         if not os.path.exists(input_path):
+            if loaded.is_complete():
+                # vacuumed after completion: nothing to resume, nothing new
+                return loaded, pages.limit(0)
             raise RuntimeError(
                 f"run {run_id} has a manifest but no increment_input — "
                 "either it is not an increment run, or a crash hit the "
                 "window between manifest commit and input publication; "
                 "re-create it with enqueue(force=True)"
             )
-        return (
-            RunManifest.load(runs_root, run_id),
-            spark.read.parquet(input_path),
-        )
+        return loaded, spark.read.parquet(input_path)
 
     latest = dedup_latest_crawl(pages)
     done_urls = None
@@ -582,6 +583,46 @@ def export_run(
         raise ValueError(f"unsupported export format: {fmt}")
     n = spark.read.format(fmt).load(dest).count()
     return {"run_id": run_label, "dest": dest, "format": fmt, "rows": n}
+
+
+def vacuum_run(spark: SparkSession, manifest: RunManifest) -> dict:
+    """Expire a completed run's recoverable artifacts — the
+    expire-snapshots/table-maintenance analog. Deletes, when present:
+    staged input leftovers (staged/, staged.tmp), the increment's recorded
+    input (increment_input — its resume role ends at completion; a
+    post-vacuum re-increment of the same run_id is a clean no-op), and the
+    compaction backup (extracted.pre_compact — its recovery window ends
+    once the compacted table has been read). Refuses incomplete runs:
+    every artifact listed is a live resume/recovery source until the last
+    partition commits."""
+    import os
+    import shutil
+
+    if not manifest.is_complete():
+        raise RuntimeError(
+            f"run {manifest.run_id} has "
+            f"{len(manifest.pending_partitions())} pending partitions — "
+            "vacuum only completed runs (these artifacts are its resume "
+            "sources)"
+        )
+    removed = []
+    freed = 0
+    for rel in ("staged", "staged.tmp", "increment_input",
+                "extracted.pre_compact"):
+        path = str(manifest.dir / rel)
+        if os.path.exists(path):
+            freed += sum(
+                os.path.getsize(os.path.join(dp, f))
+                for dp, _, fs in os.walk(path)
+                for f in fs
+            )
+            shutil.rmtree(path, ignore_errors=True)
+            removed.append(rel)
+    return {
+        "run_id": manifest.run_id,
+        "removed": removed,
+        "freed_bytes": freed,
+    }
 
 
 def compact_run(

@@ -464,3 +464,32 @@ def test_increment_killed_midrun_resumes_from_recorded_input(
     assert not (inc_urls & base_urls)  # disjointness survived the kill
     across = read_extracted_across(spark, root, ["base", "inc"])
     assert across.count() == across.select("url").distinct().count()
+
+
+def test_vacuum_expires_artifacts_and_reincrement_noops(
+    spark, pages, tmp_path
+):
+    from engine.jobs.extract_job import enqueue_increment, vacuum_run
+
+    root = str(tmp_path / "runs")
+    man = enqueue(spark, pages, root, run_id="base")
+    run_extract_job(spark, pages, man)
+    bigger = generate_pages(spark, N_DOCS + 80, partitions=4)
+    inc, new_pages = enqueue_increment(spark, bigger, root, ["base"],
+                                       run_id="inc")
+    with pytest.raises(RuntimeError, match="pending"):
+        vacuum_run(spark, inc)  # live resume sources: refused
+    run_extract_job(spark, new_pages, inc)
+    res = vacuum_run(spark, inc)
+    assert "increment_input" in res["removed"]
+    assert res["freed_bytes"] > 0
+    import os
+
+    assert not os.path.exists(os.path.join(root, "inc", "increment_input"))
+    # post-vacuum re-increment of the same run_id: clean no-op
+    inc2, leftover = enqueue_increment(spark, bigger, root, ["base"],
+                                       run_id="inc")
+    assert inc2.run_id == "inc" and inc2.is_complete()
+    assert leftover.count() == 0
+    r = run_extract_job(spark, leftover, inc2)
+    assert r["waves_run"] == 0
