@@ -104,6 +104,7 @@ HEADLINE = [
     "passage_dedup",
     "mixture_sample",
     "sequence_pack",
+    "pagerank_txn_graph",
     "token_count",
     "lang_id_heuristic",
     "token_correction_stats",

@@ -2311,6 +2311,111 @@ def _sql_mixture_sample():
     """
 
 
+PAGERANK_ITERS = 8
+PAGERANK_DAMP = 0.85
+
+
+def q_pagerank_txn_graph(spark, sf_dir):
+    """PageRank over the customer–supplier transaction graph (edges =
+    distinct (o_custkey, l_suppkey) pairs via orders⋈lineitem, symmetrized
+    so every node has out-edges; node ids disambiguate the two key spaces
+    as 2k / 2k+1). Fixed 8 damped iterations — the SECOND iterative
+    operator family (with connected components), done ORACLE VALUE-EXACT:
+    the DuckDB twin unrolls the same 8 iterations as chained CTEs, and
+    both engines compute the same IEEE double sequence (final ranks differ
+    only by sum-order noise ~1e-13, killed by the round-4 convention on
+    the n-scaled rank).
+
+    Scale shape: per iteration one shuffle of (dst, contribution) doubles
+    + one bounded groupBy — state is |V| rows of two longs+double, the
+    same O(log/fixed-rounds) join-iterate pattern as engine/cluster.py;
+    edges⋈outdeg is checkpointed ONCE so per-round lineage stays shallow
+    (no plan-depth blowup). The only driver scalar is |V| (needed as a
+    literal in the rank update), the documented 1-row-fetch convention."""
+    d = PAGERANK_DAMP
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .where(
+            F.col("o_custkey").isNotNull() & F.col("l_suppkey").isNotNull()
+        )
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    nodes = edges.select(F.col("src").alias("id")).distinct()
+    n_nodes = nodes.count()
+    contrib_src = edges.join(deg, "src").localCheckpoint(eager=True)
+    ranks = nodes.withColumn("r", F.lit(1.0 / n_nodes))
+    for _ in range(PAGERANK_ITERS):
+        c = (
+            contrib_src.join(ranks, F.col("src") == F.col("id"))
+            .select("dst", (F.col("r") / F.col("outdeg")).alias("w"))
+            .groupBy("dst")
+            .agg(F.sum("w").alias("s"))
+        )
+        ranks = (
+            nodes.join(c, nodes["id"] == c["dst"], "left")
+            .select(
+                "id",
+                (
+                    F.lit((1 - d) / n_nodes)
+                    + F.lit(d) * F.coalesce("s", F.lit(0.0))
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        F.when(F.col("id") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.floor(F.col("id") / F.lit(2.0)).cast("long").alias("key"),
+        F.round(F.col("r") * n_nodes, 4).alias("rank_scaled"),
+    )
+
+
+def _sql_pagerank_txn_graph():
+    d = PAGERANK_DAMP
+    parts = [
+        """
+    WITH pairs AS (
+      SELECT DISTINCT o.o_custkey*2 AS src, l.l_suppkey*2+1 AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_custkey IS NOT NULL AND l.l_suppkey IS NOT NULL),
+    edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (SELECT id, 1.0/nn.n AS r FROM nodes, nn)"""
+    ]
+    for k in range(1, PAGERANK_ITERS + 1):
+        parts.append(
+            f""",
+    c{k} AS (SELECT e.dst AS id, sum(r{k-1}.r / d.outdeg) AS s
+             FROM edges e JOIN r{k-1} ON e.src = r{k-1}.id
+             JOIN deg d ON e.src = d.src GROUP BY e.dst),
+    r{k} AS (SELECT n.id, (1-{d})/nn.n + {d}*coalesce(c{k}.s, 0.0) AS r
+             FROM nodes n CROSS JOIN nn LEFT JOIN c{k} ON n.id = c{k}.id)"""
+        )
+    parts.append(
+        f"""
+    SELECT CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END
+             AS node_type,
+           CAST(floor(id/2.0) AS BIGINT) AS key,
+           round(r * nn.n, 4) AS rank_scaled
+    FROM r{PAGERANK_ITERS}, nn
+    """
+    )
+    return "".join(parts)
+
+
 SEQ_PACK_BUDGET = 512
 
 
@@ -2845,6 +2950,7 @@ _reg("ngram_decontaminate", q_ngram_decontaminate, _sql_ngram_decontaminate())
 _reg("passage_dedup", q_passage_dedup, _sql_passage_dedup())
 _reg("mixture_sample", q_mixture_sample, _sql_mixture_sample())
 _reg("sequence_pack", q_sequence_pack, _sql_sequence_pack())
+_reg("pagerank_txn_graph", q_pagerank_txn_graph, _sql_pagerank_txn_graph())
 _reg("minhash_signatures", q_minhash_signatures, None)
 _reg("lsh_bucket_candidates", q_lsh_bucket_candidates, None)
 _reg("simhash_fingerprint", q_simhash_fingerprint, None)

@@ -108,3 +108,27 @@ def test_selection_neardup_subset_of_exact_selection(spark):
     near_ids = {r["doc_id"] for r in near}
     assert near_ids <= exact
     assert sum(r["n_members"] for r in near) == len(exact)
+
+
+def test_pagerank_mass_conserved_and_deterministic(spark):
+    """PageRank invariants: total n-scaled rank mass == n (damped walk
+    conserves probability on the symmetrized graph), every rank positive,
+    two runs bit-identical (checkpointed iterations are deterministic)."""
+    from pyspark.sql import functions as F
+
+    from engine.queries import q_pagerank_txn_graph
+
+    sf = "/root/testdata/sf0.001"
+    df = q_pagerank_txn_graph(spark, sf)
+    rows = {(r["node_type"], r["key"]): r["rank_scaled"] for r in df.collect()}
+    agg = q_pagerank_txn_graph(spark, sf).agg(
+        F.sum("rank_scaled").alias("mass"), F.count("*").alias("n"),
+        F.min("rank_scaled").alias("lo"),
+    ).collect()[0]
+    assert abs(agg["mass"] - agg["n"]) < 0.01 * agg["n"]
+    assert agg["lo"] > 0
+    again = {
+        (r["node_type"], r["key"]): r["rank_scaled"]
+        for r in q_pagerank_txn_graph(spark, sf).collect()
+    }
+    assert rows == again
