@@ -222,8 +222,9 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(vacuum_run(spark, m)))
     elif a.verb == "export":
         ms = [
-            RunManifest.load(a.runs_root, rid)
+            RunManifest.load(a.runs_root, rid.strip())
             for rid in a.run_id.split(",")
+            if rid.strip()
         ]
         m = ms if len(ms) > 1 else ms[0]
         print(json.dumps(export_run(spark, m, a.dest, fmt=a.format)))

@@ -318,6 +318,17 @@ def read_extracted(spark: SparkSession, manifest: RunManifest) -> DataFrame:
         return spark.createDataFrame(
             [], schema=EXTRACTED_DDL + ", partition_id int"
         )
+    has_files = any(
+        f.endswith(".parquet")
+        for _, _, fs in os.walk(manifest.extracted_path)
+        for f in fs
+    )
+    if not has_files:
+        # a committed run over an EMPTY corpus writes no data files —
+        # schema inference would fail; it reads as an empty table
+        return spark.createDataFrame(
+            [], schema=EXTRACTED_DDL + ", partition_id int"
+        )
     df = spark.read.parquet(manifest.extracted_path)
     if len(committed) == manifest.state()["n_partitions"]:
         # fully committed: skip the isin filter — at 10^6 partitions the
@@ -465,7 +476,9 @@ def enqueue_increment(
     increment's audit record. Returns (manifest, new_pages) — manifest is
     None when the increment contains nothing new (no run directory is
     created)."""
+    import json
     import os
+    import pathlib
     import shutil
     import uuid as _uuid
 
@@ -482,7 +495,23 @@ def enqueue_increment(
                 f"run {run_id} has a manifest but no increment_input — "
                 "either it is not an increment run, or a crash hit the "
                 "window between manifest commit and input publication; "
-                "re-create it with enqueue(force=True)"
+                "delete the run directory and re-call enqueue_increment "
+                "(enqueue(force=True) would extract the RAW crawl and "
+                "re-process every base url)"
+            )
+        # the recorded input was anti-joined against a SPECIFIC base set;
+        # resuming with a different one would silently hand base-committed
+        # urls to this run and break cross-run url-disjointness
+        meta_file = os.path.join(input_path, "_increment_meta.json")
+        recorded = sorted(json.loads(
+            pathlib.Path(meta_file).read_text()
+        )["base_run_ids"]) if os.path.exists(meta_file) else None
+        if recorded is not None and recorded != sorted(base_run_ids):
+            raise RuntimeError(
+                f"run {run_id} was enqueued against bases {recorded}, "
+                f"resume asked for {sorted(base_run_ids)} — an increment's "
+                "base set is fixed at enqueue time; use a NEW run_id to "
+                "increment against the larger base set"
             )
         return loaded, spark.read.parquet(input_path)
 
@@ -506,6 +535,11 @@ def enqueue_increment(
     tmp = os.path.join(runs_root, f".{run_id}.input.tmp")
     shutil.rmtree(tmp, ignore_errors=True)
     new_pages.write.mode("overwrite").parquet(tmp)
+    # the base set is part of the recorded input (underscore-prefixed:
+    # parquet readers ignore it) — resume validates against it
+    pathlib.Path(tmp, "_increment_meta.json").write_text(
+        json.dumps({"base_run_ids": sorted(base_run_ids)})
+    )
     mat = spark.read.parquet(tmp)
     if mat.limit(1).count() == 0:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -591,7 +625,8 @@ def vacuum_run(spark: SparkSession, manifest: RunManifest) -> dict:
     staged input leftovers (staged/, staged.tmp), the increment's recorded
     input (increment_input — its resume role ends at completion; a
     post-vacuum re-increment of the same run_id is a clean no-op), and the
-    compaction backup (extracted.pre_compact — its recovery window ends
+    compaction leftovers (extracted.pre_compact / extracted.compact_tmp
+    — their recovery window ends
     once the compacted table has been read). Refuses incomplete runs:
     every artifact listed is a live resume/recovery source until the last
     partition commits."""
@@ -608,7 +643,7 @@ def vacuum_run(spark: SparkSession, manifest: RunManifest) -> dict:
     removed = []
     freed = 0
     for rel in ("staged", "staged.tmp", "increment_input",
-                "extracted.pre_compact"):
+                "extracted.pre_compact", "extracted.compact_tmp"):
         path = str(manifest.dir / rel)
         if os.path.exists(path):
             freed += sum(

@@ -1173,6 +1173,7 @@ def q_embedding_neardup_pairs_fast(spark, sf_dir):
 
 _NEARDUP_LSH_BITS = 3
 _NEARDUP_LSH_BANDS = 16
+_NEARDUP_PROD_THETA = 0.9  # the production near-dup operating point
 
 
 def _rand_planes(n: int, seed: int) -> list[list[float]]:
@@ -1325,8 +1326,9 @@ def q_embedding_neardup_pairs_lsh_prod(spark, sf_dir):
     # sim, and candidate/verified counts fall out of a single aggregate
     # (building the pipeline twice — candidates_only then verified — would
     # double the cost of this headline entry)
+    theta = _NEARDUP_PROD_THETA
     scored = _neardup_lsh_pairs(
-        spark, sf_dir, bits=8, bands=12, threshold=0.9, keep_all=True
+        spark, sf_dir, bits=8, bands=12, threshold=theta, keep_all=True
     )
     n_vec = (
         _valid_embeddings(_t(spark, sf_dir, "embeddings"))
@@ -1334,7 +1336,10 @@ def q_embedding_neardup_pairs_lsh_prod(spark, sf_dir):
     )
     stats = scored.agg(
         F.count("*").alias("n_candidates"),
-        F.sum(F.when(F.col("sim") >= 0.9, 1).otherwise(0)).alias("n_pairs"),
+        # count(when(...)) not sum(when(...)): an empty candidate set must
+        # report 0 verified pairs, never NULL; the theta here is the SAME
+        # constant as the helper's threshold (which keep_all bypasses)
+        F.count(F.when(F.col("sim") >= theta, True)).alias("n_pairs"),
     )
     return n_vec.crossJoin(stats).select(
         "n_vectors",
@@ -2322,17 +2327,26 @@ def q_pagerank_txn_graph(spark, sf_dir):
     as 2k / 2k+1). Fixed 8 damped iterations — the SECOND iterative
     operator family (with connected components), done ORACLE VALUE-EXACT:
     the DuckDB twin unrolls the same 8 iterations as chained CTEs, and
-    both engines compute the same IEEE double sequence (final ranks differ
-    only by sum-order noise ~1e-13, killed by the round-4 convention on
-    the n-scaled rank).
+    both engines compute the same IEEE double sequence: the teleport
+    constant is the SAME double on both sides (repr-inlined — see below),
+    so the only cross-engine divergence is distributed-sum fold order,
+    ~1e-13 on ranks whose round-4 quantum is 1e-4: a boundary flip needs a
+    rank within 1e-13 of a .00005 edge (odds ~1e-9 per node per run — the
+    documented, quantified tolerance of comparing iterated float
+    aggregates across engines; "identical fold order" is unattainable for
+    distributed partial sums by construction).
 
     Scale shape: per iteration one shuffle of (dst, contribution) doubles
     + one bounded groupBy — state is |V| rows of two longs+double, the
-    same O(log/fixed-rounds) join-iterate pattern as engine/cluster.py;
-    edges⋈outdeg is checkpointed ONCE so per-round lineage stays shallow
-    (no plan-depth blowup). The only driver scalar is |V| (needed as a
-    literal in the rank update), the documented 1-row-fetch convention."""
+    same fixed-rounds join-iterate pattern as engine/cluster.py.
+    Construction is fully LAZY (no jobs run until an action): the shared
+    subtrees (edges⋈outdeg, nodes) are persist()-ed so the final plan's
+    8-9 references compute them once at action time, and |V| enters the
+    rank update as a crossJoined 1-row aggregate, not a driver scalar."""
     d = PAGERANK_DAMP
+    one_minus_d = 1.0 - d  # computed ONCE in IEEE double; the SQL twin
+    # inlines repr() of this exact value — (1-0.85) evaluated in DuckDB's
+    # DECIMAL arithmetic is a DIFFERENT double (0.1499…94 vs 0.15000…02)
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     pairs = (
@@ -2348,12 +2362,18 @@ def q_pagerank_txn_graph(spark, sf_dir):
     )
     edges = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
+    )
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    nodes = edges.select(F.col("src").alias("id")).distinct()
-    n_nodes = nodes.count()
-    contrib_src = edges.join(deg, "src").localCheckpoint(eager=True)
-    ranks = nodes.withColumn("r", F.lit(1.0 / n_nodes))
+    # persist (lazy), not eager checkpoints: query CONSTRUCTION stays free
+    # (the registry is built/schemas inspected without running 8 jobs), and
+    # the shared subtrees — referenced 8-9x by the final plan — compute
+    # once at action time instead of once per reference
+    contrib_src = edges.join(deg, "src").persist()
+    nodes = edges.select(F.col("src").alias("id")).distinct().persist()
+    nn = nodes.agg(F.count("*").cast("double").alias("n"))
+    ranks = nodes.crossJoin(nn).select(
+        "id", (F.lit(1.0) / F.col("n")).alias("r")
+    )
     for _ in range(PAGERANK_ITERS):
         c = (
             contrib_src.join(ranks, F.col("src") == F.col("id"))
@@ -2362,22 +2382,22 @@ def q_pagerank_txn_graph(spark, sf_dir):
             .agg(F.sum("w").alias("s"))
         )
         ranks = (
-            nodes.join(c, nodes["id"] == c["dst"], "left")
+            nodes.crossJoin(nn)
+            .join(c, nodes["id"] == c["dst"], "left")
             .select(
                 "id",
                 (
-                    F.lit((1 - d) / n_nodes)
+                    F.lit(one_minus_d) / F.col("n")
                     + F.lit(d) * F.coalesce("s", F.lit(0.0))
                 ).alias("r"),
             )
-            .localCheckpoint(eager=True)
         )
-    return ranks.select(
+    return ranks.crossJoin(nn).select(
         F.when(F.col("id") % 2 == 0, F.lit("customer"))
         .otherwise(F.lit("supplier"))
         .alias("node_type"),
         F.floor(F.col("id") / F.lit(2.0)).cast("long").alias("key"),
-        F.round(F.col("r") * n_nodes, 4).alias("rank_scaled"),
+        F.round(F.col("r") * F.col("n"), 4).alias("rank_scaled"),
     )
 
 
@@ -2395,13 +2415,18 @@ def _sql_pagerank_txn_graph():
     nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
     r0 AS (SELECT id, 1.0/nn.n AS r FROM nodes, nn)"""
     ]
+    # teleport constant: repr() of the Python-computed double, CAST to
+    # DOUBLE — letting DuckDB evaluate (1-0.85) in DECIMAL arithmetic
+    # yields a genuinely different double than IEEE 1.0-0.85
+    omd = f"CAST({1.0 - d!r} AS DOUBLE)"
+    dd = f"CAST({d!r} AS DOUBLE)"
     for k in range(1, PAGERANK_ITERS + 1):
         parts.append(
             f""",
     c{k} AS (SELECT e.dst AS id, sum(r{k-1}.r / d.outdeg) AS s
              FROM edges e JOIN r{k-1} ON e.src = r{k-1}.id
              JOIN deg d ON e.src = d.src GROUP BY e.dst),
-    r{k} AS (SELECT n.id, (1-{d})/nn.n + {d}*coalesce(c{k}.s, 0.0) AS r
+    r{k} AS (SELECT n.id, {omd}/nn.n + {dd}*coalesce(c{k}.s, 0.0) AS r
              FROM nodes n CROSS JOIN nn LEFT JOIN c{k} ON n.id = c{k}.id)"""
         )
     parts.append(

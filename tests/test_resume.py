@@ -493,3 +493,27 @@ def test_vacuum_expires_artifacts_and_reincrement_noops(
     assert leftover.count() == 0
     r = run_extract_job(spark, leftover, inc2)
     assert r["waves_run"] == 0
+
+
+def test_increment_resume_rejects_changed_base_set(spark, pages, tmp_path):
+    """An increment's anti-join is frozen against its enqueue-time base
+    set; resuming with a different one must be refused (the recorded input
+    may contain urls the new base has already committed)."""
+    from engine.jobs.extract_job import enqueue_increment
+
+    root = str(tmp_path / "runs")
+    m1 = enqueue(spark, pages, root, run_id="b1")
+    run_extract_job(spark, pages, m1)
+    small = generate_pages(spark, 50, partitions=2)
+    m2 = enqueue(spark, small, root, run_id="b2")
+    run_extract_job(spark, small, m2)
+    bigger = generate_pages(spark, N_DOCS + 60, partitions=4)
+    inc, new_pages = enqueue_increment(spark, bigger, root, ["b1"],
+                                       run_id="inc")
+    run_extract_job(spark, new_pages, inc, wave_size=4, max_waves=1)  # kill
+    with pytest.raises(RuntimeError, match="base set"):
+        enqueue_increment(spark, bigger, root, ["b1", "b2"], run_id="inc")
+    # same base set resumes fine
+    inc2, resumed = enqueue_increment(spark, bigger, root, ["b1"],
+                                      run_id="inc")
+    assert inc2.run_id == "inc" and resumed.count() == new_pages.count()
