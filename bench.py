@@ -105,6 +105,7 @@ HEADLINE = [
     "mixture_sample",
     "sequence_pack",
     "pagerank_txn_graph",
+    "column_profile",
     "token_count",
     "lang_id_heuristic",
     "token_correction_stats",

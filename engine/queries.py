@@ -2316,6 +2316,45 @@ def _sql_mixture_sample():
     """
 
 
+def q_column_profile(spark, sf_dir):
+    """ANALYZE-TABLE-style column profile of `documents`: per column, its
+    null count and exact distinct count — the statistics a warehouse
+    optimizer (or a data-quality gate) collects, and the UNPIVOT exercise
+    (stack) that is the registered pivot query's missing twin: one wide
+    aggregate row turns into one row per column.
+
+    Scale: ONE scan computes all aggregates; the multi-column exact
+    COUNT(DISTINCT) expands the input k ways (Spark's Expand) — the
+    documented cost of exact profiling; a 100 TB profile would swap in
+    approx_count_distinct per column (same shape, no expand), exactly as
+    stats_agg_approx twins stats_agg."""
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    d = _t(spark, sf_dir, "documents")
+    aggs = []
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"n_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"d_{c}"))
+    wide = d.agg(*aggs)
+    stack_args = ", ".join(f"'{c}', n_{c}, d_{c}" for c in cols)
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) "
+            "AS (column_name, n_nulls, n_distinct)"
+        )
+    )
+
+
+def _sql_column_profile():
+    parts = [
+        f"""SELECT '{c}' AS column_name,
+               sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+               count(DISTINCT {c}) AS n_distinct
+        FROM documents"""
+        for c in ["doc_id", "text", "lang", "source", "n_chars"]
+    ]
+    return " UNION ALL ".join(parts)
+
+
 PAGERANK_ITERS = 8
 PAGERANK_DAMP = 0.85
 
@@ -2976,6 +3015,7 @@ _reg("passage_dedup", q_passage_dedup, _sql_passage_dedup())
 _reg("mixture_sample", q_mixture_sample, _sql_mixture_sample())
 _reg("sequence_pack", q_sequence_pack, _sql_sequence_pack())
 _reg("pagerank_txn_graph", q_pagerank_txn_graph, _sql_pagerank_txn_graph())
+_reg("column_profile", q_column_profile, _sql_column_profile())
 _reg("minhash_signatures", q_minhash_signatures, None)
 _reg("lsh_bucket_candidates", q_lsh_bucket_candidates, None)
 _reg("simhash_fingerprint", q_simhash_fingerprint, None)

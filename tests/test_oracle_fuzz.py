@@ -84,6 +84,7 @@ DOC_QUERIES = [
     "passage_dedup",
     "mixture_sample",
     "sequence_pack",
+    "column_profile",
 ]
 EVENT_QUERIES = [
     "json_funcs",
