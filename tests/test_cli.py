@@ -1,0 +1,62 @@
+"""End-to-end CLI surface test: every verb's happy path through main(argv)
+— the deployment interface (SURVEY §3.2 / emopcmd.py analog) pinned as one
+lifecycle: synth → enqueue → run → query → rollup → increment → export
+(multi-run) → vacuum → compact."""
+
+from __future__ import annotations
+
+import json
+
+from engine.cli import main
+
+
+def _run(capsys, *argv) -> dict | list:
+    assert main(list(argv)) == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    return json.loads(out)
+
+
+def test_cli_full_lifecycle(spark, tmp_path, capsys):
+    c1 = str(tmp_path / "c1.parquet")
+    c2 = str(tmp_path / "c2.parquet")
+    root = str(tmp_path / "runs")
+
+    r = _run(capsys, "synth", "--out", c1, "--docs", "120", "--partitions", "2")
+    assert r["docs"] == 120
+    r = _run(capsys, "synth", "--out", c2, "--docs", "180", "--partitions", "2")
+    assert r["docs"] == 180
+
+    r = _run(capsys, "enqueue", "--pages", c1, "--runs-root", root,
+             "--run-id", "d1")
+    assert r["run_id"] == "d1" and r["n_partitions"] >= 8
+
+    r = _run(capsys, "run", "--pages", c1, "--runs-root", root,
+             "--run-id", "d1")
+    assert r["complete"] and r["docs_processed"] > 0
+
+    r = _run(capsys, "query", "--runs-root", root, "--run-id", "d1")
+    assert r["complete"] and r["pending"] == 0
+
+    rows = _run(capsys, "rollup", "--runs-root", root, "--run-id", "d1")
+    assert isinstance(rows, list) and len(rows) >= 3
+
+    r = _run(capsys, "increment", "--pages", c2, "--runs-root", root,
+             "--base-run-ids", "d1", "--run-id", "d2")
+    assert r["complete"] and r["docs_processed"] == 60
+
+    # re-increment with the same run_id: resume path, clean no-op
+    r = _run(capsys, "increment", "--pages", c2, "--runs-root", root,
+             "--base-run-ids", "d1", "--run-id", "d2")
+    assert r["docs_processed"] == 0 and r["complete"]
+
+    dest = str(tmp_path / "table")
+    r = _run(capsys, "export", "--runs-root", root, "--run-id", "d1,d2",
+             "--dest", dest)
+    assert r["run_id"] == "d1,d2" and r["rows"] == 180
+
+    r = _run(capsys, "vacuum", "--runs-root", root, "--run-id", "d2")
+    assert "increment_input" in r["removed"]
+
+    r = _run(capsys, "compact", "--runs-root", root, "--run-id", "d1",
+             "--target-file-mb", "1")
+    assert r["files_after"] <= r["files_before"]
