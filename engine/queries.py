@@ -2586,6 +2586,78 @@ def q_multimodal_image_topk(spark, sf_dir):
     )
 
 
+def q_multimodal_image_meta(spark, sf_dir):
+    """Multimodal meta sniff, ORACLE VALUE-EXACT by independent derivation:
+    Spark builds the deterministic PPMX media table and parses the BINARY
+    headers through the Arrow sniff pass (engine/multimodal.py —
+    never decoding pixels); the DuckDB twin computes the expected metadata
+    from the generator parameters over range(N) without ever seeing a
+    byte. Agreement proves the encode→binary-column→header-parse loop is
+    lossless — upgrading multimodal from rows-only to value-exact."""
+    from engine import multimodal as M
+
+    media = M.generate_media(spark, N_MULTIMODAL_MEDIA, partitions=8)
+    return M.image_meta(media).select(
+        "media_id",
+        "fmt",
+        "width",
+        "height",
+        "channels",
+        "n_bytes",
+        F.col("parse_ok").cast("int").alias("parse_ok"),
+    )
+
+
+def _sql_multimodal_image_meta():
+    return f"""
+    SELECT i AS media_id,
+      CASE WHEN i % 17 = 0 THEN NULL ELSE 'ppmx' END AS fmt,
+      CASE WHEN i % 17 = 0 THEN NULL ELSE 16 + i % 8 END AS width,
+      CASE WHEN i % 17 = 0 THEN NULL ELSE 12 + i % 5 END AS height,
+      CASE WHEN i % 17 = 0 THEN NULL ELSE 3 END AS channels,
+      CASE WHEN i % 17 = 0 THEN 8
+           ELSE 16 + (16 + i % 8) * (12 + i % 5) * 3 END AS n_bytes,
+      CASE WHEN i % 17 = 0 THEN 0 ELSE 1 END AS parse_ok
+    FROM range(0, {N_MULTIMODAL_MEDIA}) t(i)
+    """
+
+
+def q_multimodal_audio_meta(spark, sf_dir):
+    """Audio twin of q_multimodal_image_meta: PCMX header sniff vs the
+    generator-parameter derivation (sample_rate 16000, mono, n_samples
+    400 + 50*(i%7), s16le body; corrupt every 17th). Value-exact."""
+    from engine import multimodal as M
+
+    media = M.generate_audio(spark, N_MULTIMODAL_MEDIA, partitions=8)
+    return M.audio_meta(media).select(
+        "media_id",
+        "fmt",
+        "sample_rate",
+        "channels",
+        "n_samples",
+        "duration_ms",
+        "n_bytes",
+        F.col("parse_ok").cast("int").alias("parse_ok"),
+    )
+
+
+def _sql_multimodal_audio_meta():
+    return f"""
+    SELECT i AS media_id,
+      CASE WHEN i % 17 = 0 THEN NULL ELSE 'pcmx' END AS fmt,
+      CASE WHEN i % 17 = 0 THEN NULL ELSE 16000 END AS sample_rate,
+      CASE WHEN i % 17 = 0 THEN NULL ELSE 1 END AS channels,
+      CASE WHEN i % 17 = 0 THEN NULL ELSE 400 + (i % 7) * 50 END
+        AS n_samples,
+      CASE WHEN i % 17 = 0 THEN NULL
+           ELSE ((400 + (i % 7) * 50) * 1000) // 16000 END AS duration_ms,
+      CASE WHEN i % 17 = 0 THEN 6
+           ELSE 16 + (400 + (i % 7) * 50) * 2 END AS n_bytes,
+      CASE WHEN i % 17 = 0 THEN 0 ELSE 1 END AS parse_ok
+    FROM range(0, {N_MULTIMODAL_MEDIA}) t(i)
+    """
+
+
 def q_multimodal_audio_loudest(spark, sf_dir):
     """Audio twin of the image pipeline (rows-only): deterministic PCMX
     table → header sniff (sample_rate/duration without decoding) → RMS
@@ -3021,6 +3093,16 @@ _reg("lsh_bucket_candidates", q_lsh_bucket_candidates, None)
 _reg("simhash_fingerprint", q_simhash_fingerprint, None)
 _reg("doc_fingerprint", q_doc_fingerprint, None)
 _reg("multimodal_image_topk", q_multimodal_image_topk, None)
+_reg(
+    "multimodal_image_meta",
+    q_multimodal_image_meta,
+    _sql_multimodal_image_meta(),
+)
+_reg(
+    "multimodal_audio_meta",
+    q_multimodal_audio_meta,
+    _sql_multimodal_audio_meta(),
+)
 _reg("multimodal_audio_loudest", q_multimodal_audio_loudest, None)
 
 
