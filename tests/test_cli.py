@@ -16,7 +16,10 @@ def _run(capsys, *argv) -> dict | list:
     return json.loads(out)
 
 
-def test_cli_full_lifecycle(spark, tmp_path, capsys):
+def test_cli_full_lifecycle(spark, tmp_path, capsys, monkeypatch):
+    # main() ends with spark.stop(); its getOrCreate returns the SHARED
+    # test session, so stopping it would kill every later test file
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
     c1 = str(tmp_path / "c1.parquet")
     c2 = str(tmp_path / "c2.parquet")
     root = str(tmp_path / "runs")
