@@ -199,7 +199,7 @@ def main(argv: list[str] | None = None) -> int:
             spark,
             pages,
             a.runs_root,
-            a.base_run_ids.split(","),
+            [r.strip() for r in a.base_run_ids.split(",") if r.strip()],
             target_partition_bytes=a.target_partition_mb << 20,
             run_id=a.run_id,
         )

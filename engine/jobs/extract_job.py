@@ -318,18 +318,17 @@ def read_extracted(spark: SparkSession, manifest: RunManifest) -> DataFrame:
         return spark.createDataFrame(
             [], schema=EXTRACTED_DDL + ", partition_id int"
         )
-    has_files = any(
-        f.endswith(".parquet")
-        for _, _, fs in os.walk(manifest.extracted_path)
-        for f in fs
-    )
-    if not has_files:
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.parquet(manifest.extracted_path)
+    except AnalysisException:
         # a committed run over an EMPTY corpus writes no data files —
-        # schema inference would fail; it reads as an empty table
+        # schema inference fails; it reads as an empty table. try/except
+        # keeps the healthy path free of any extra filesystem walk.
         return spark.createDataFrame(
             [], schema=EXTRACTED_DDL + ", partition_id int"
         )
-    df = spark.read.parquet(manifest.extracted_path)
     if len(committed) == manifest.state()["n_partitions"]:
         # fully committed: skip the isin filter — at 10^6 partitions the
         # predicate alone bloats the plan, and it would prune nothing
@@ -639,6 +638,15 @@ def vacuum_run(spark: SparkSession, manifest: RunManifest) -> dict:
             f"{len(manifest.pending_partitions())} pending partitions — "
             "vacuum only completed runs (these artifacts are its resume "
             "sources)"
+        )
+    if not os.path.exists(manifest.extracted_path):
+        # a crash between compact_run's two renames leaves the table ONLY
+        # in .pre_compact / .compact_tmp — vacuuming now would delete the
+        # last copy of the data
+        raise RuntimeError(
+            f"run {manifest.run_id} has no extracted/ directory — recover "
+            "first (rename extracted.pre_compact or extracted.compact_tmp "
+            "back to extracted/), then vacuum"
         )
     removed = []
     freed = 0

@@ -2357,6 +2357,11 @@ def _sql_column_profile():
 
 PAGERANK_ITERS = 8
 PAGERANK_DAMP = 0.85
+# persisted subtrees of the LAST pagerank call — released on the next call
+# so the session never accumulates more than one sf_dir's edge cache
+# (lazy persist can't be unpersisted inside the call without forcing an
+# action, which would break lazy construction)
+_PAGERANK_CACHED: list = []
 
 
 def q_pagerank_txn_graph(spark, sf_dir):
@@ -2406,9 +2411,16 @@ def q_pagerank_txn_graph(spark, sf_dir):
     # persist (lazy), not eager checkpoints: query CONSTRUCTION stays free
     # (the registry is built/schemas inspected without running 8 jobs), and
     # the shared subtrees — referenced 8-9x by the final plan — compute
-    # once at action time instead of once per reference
+    # once at action time instead of once per reference. The previous
+    # call's caches are released here (bounded leak — the ann_ivf
+    # session-cache convention), which also keeps bench timing honest:
+    # the timed pass rebuilds the edges instead of hitting the warm
+    # pass's cache.
+    while _PAGERANK_CACHED:
+        _PAGERANK_CACHED.pop().unpersist()
     contrib_src = edges.join(deg, "src").persist()
     nodes = edges.select(F.col("src").alias("id")).distinct().persist()
+    _PAGERANK_CACHED.extend([contrib_src, nodes])
     nn = nodes.agg(F.count("*").cast("double").alias("n"))
     ranks = nodes.crossJoin(nn).select(
         "id", (F.lit(1.0) / F.col("n")).alias("r")
