@@ -2420,11 +2420,20 @@ def q_pagerank_txn_graph(spark, sf_dir):
         _PAGERANK_CACHED.pop().unpersist()
     contrib_src = edges.join(deg, "src").persist()
     nodes = edges.select(F.col("src").alias("id")).distinct().persist()
-    _PAGERANK_CACHED.extend([contrib_src, nodes])
     nn = nodes.agg(F.count("*").cast("double").alias("n"))
-    ranks = nodes.crossJoin(nn).select(
-        "id", (F.lit(1.0) / F.col("n")).alias("r")
-    )
+    # hoist the per-node teleport term OUT of the loop: the previous shape
+    # re-crossJoined nn and re-derived (1-d)/n inside every iteration —
+    # 8 extra 1-row aggregations + broadcast-nested-loop joins per action
+    # at ANY scale. `base` carries it once; each round is then exactly
+    # (join ranks ⋈ contrib_src) + (groupBy dst) + (left join base) —
+    # per-round shuffle payload stays (id, double) rows.
+    base = nodes.crossJoin(nn).select(
+        "id",
+        (F.lit(one_minus_d) / F.col("n")).alias("base"),
+        (F.lit(1.0) / F.col("n")).alias("r0"),
+    ).persist()
+    _PAGERANK_CACHED.extend([contrib_src, nodes, base])
+    ranks = base.select("id", F.col("r0").alias("r"))
     for _ in range(PAGERANK_ITERS):
         c = (
             contrib_src.join(ranks, F.col("src") == F.col("id"))
@@ -2433,13 +2442,11 @@ def q_pagerank_txn_graph(spark, sf_dir):
             .agg(F.sum("w").alias("s"))
         )
         ranks = (
-            nodes.crossJoin(nn)
-            .join(c, nodes["id"] == c["dst"], "left")
+            base.join(c, base["id"] == c["dst"], "left")
             .select(
                 "id",
                 (
-                    F.lit(one_minus_d) / F.col("n")
-                    + F.lit(d) * F.coalesce("s", F.lit(0.0))
+                    F.col("base") + F.lit(d) * F.coalesce("s", F.lit(0.0))
                 ).alias("r"),
             )
         )
