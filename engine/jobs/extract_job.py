@@ -322,10 +322,16 @@ def read_extracted(spark: SparkSession, manifest: RunManifest) -> DataFrame:
 
     try:
         df = spark.read.parquet(manifest.extracted_path)
-    except AnalysisException:
+    except AnalysisException as e:
         # a committed run over an EMPTY corpus writes no data files —
         # schema inference fails; it reads as an empty table. try/except
-        # keeps the healthy path free of any extra filesystem walk.
+        # keeps the healthy path free of any extra filesystem walk. ONLY
+        # the no-data classes degrade to empty: any other analysis error
+        # (conflicting partition layouts, corrupt footers) on a run the
+        # manifest says has committed data must surface, or export would
+        # silently publish an empty table.
+        if e.getCondition() not in ("UNABLE_TO_INFER_SCHEMA", "PATH_NOT_FOUND"):
+            raise
         return spark.createDataFrame(
             [], schema=EXTRACTED_DDL + ", partition_id int"
         )

@@ -132,3 +132,23 @@ def test_pagerank_mass_conserved_and_deterministic(spark):
         for r in q_pagerank_txn_graph(spark, sf).collect()
     }
     assert rows == again
+
+
+def test_pagerank_construction_survives_stale_cache_entries(spark):
+    """Review finding: _PAGERANK_CACHED may hold DataFrames of a stopped
+    SparkSession (bench.py stops/recreates sessions in-process). A dead
+    handle must not crash query CONSTRUCTION on the next call."""
+    from unittest import mock
+
+    from engine import queries as Q
+
+    class _Dead:
+        def unpersist(self):
+            raise RuntimeError("Cannot call methods on a stopped SparkContext")
+
+    patched: list = [_Dead()]
+    with mock.patch.object(Q, "_PAGERANK_CACHED", patched):
+        df = Q.q_pagerank_txn_graph(spark, "/root/testdata/sf0.001")
+        assert df.schema is not None  # construction completed
+    for cached in patched:  # don't leak this call's persists into the session
+        cached.unpersist()

@@ -343,6 +343,32 @@ def test_fresh_run_reads_as_empty(spark, pages, tmp_path):
     assert read_lineage(spark, man).count() == 0
 
 
+def test_corrupt_extracted_layout_raises(spark, pages, tmp_path):
+    """Review finding: only the no-data AnalysisException classes may
+    degrade to an empty committed view. A run the manifest says has data
+    but whose extracted/ layout is broken (conflicting partition dirs)
+    must RAISE — silently reading 0 rows would let export publish an
+    empty table with exit code 0."""
+    import os
+    import shutil
+
+    root = str(tmp_path / "runs")
+    man = enqueue(spark, pages, root, min_partitions=4, run_id="corrupt-test")
+    run_extract_job(spark, pages, man, wave_size=4)
+    assert read_extracted(spark, man).count() > 0
+    # break partition discovery: one leaf with a DIFFERENT partition key
+    src = next(
+        d for d in os.listdir(man.extracted_path)
+        if d.startswith("partition_id=")
+    )
+    shutil.copytree(
+        os.path.join(man.extracted_path, src),
+        os.path.join(man.extracted_path, "other_key=1"),
+    )
+    with pytest.raises(Exception, match="(?i)conflicting|partition"):
+        read_extracted(spark, man).count()
+
+
 def test_increment_extracts_only_new_urls(spark, pages, tmp_path):
     """Incremental append (daily-crawl increment): a second crawl that is a
     superset of the base extracts EXACTLY the never-seen urls, the union
