@@ -2943,6 +2943,35 @@ def _sql_neardup_clusters():
     )
 
 
+def q_neardup_clusters_lsh(spark, sf_dir):
+    """Clusters over the MinHash-LSH candidate pair set — the minhash
+    family's missing last stage (signatures → band buckets → candidate
+    pairs → cluster assignment), and the sub-quadratic 100 TB dedup path
+    end-to-end: every stage is bucketed (band-hash groupBy, df/bucket
+    caps) and the CC rounds shuffle only (id, label) longs.
+
+    Same output contract as `neardup_clusters` (doc_id, cluster_id,
+    cluster_n, is_rep; singletons map to themselves). Rows-only: the pair
+    set is engine-hash (xxhash64 band buckets), so no SQL oracle exists —
+    the clustering itself is pinned by tests/test_cluster.py (CC validity:
+    every candidate pair ends up co-clustered, representatives are
+    cluster-minimal, two runs bit-identical)."""
+    from engine.cluster import connected_components
+
+    pairs = q_lsh_bucket_candidates(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    assigned = d.join(cc, d["doc_id"] == cc["id"], "left").select(
+        "doc_id", F.coalesce("label", "doc_id").alias("cluster_id")
+    )
+    return assigned.select(
+        "doc_id",
+        "cluster_id",
+        F.count("*").over(W.partitionBy("cluster_id")).alias("cluster_n"),
+        (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_rep"),
+    )
+
+
 def q_training_set_selection_neardup(spark, sf_dir):
     """The full composed training-data pipeline, now through NEAR-dup (the
     round-2 version stopped at exact dedup): language filter → quality
@@ -3116,6 +3145,7 @@ _reg("pagerank_txn_graph", q_pagerank_txn_graph, _sql_pagerank_txn_graph())
 _reg("column_profile", q_column_profile, _sql_column_profile())
 _reg("minhash_signatures", q_minhash_signatures, None)
 _reg("lsh_bucket_candidates", q_lsh_bucket_candidates, None)
+_reg("neardup_clusters_lsh", q_neardup_clusters_lsh, None)
 _reg("simhash_fingerprint", q_simhash_fingerprint, None)
 _reg("doc_fingerprint", q_doc_fingerprint, None)
 _reg("multimodal_image_topk", q_multimodal_image_topk, None)

@@ -98,6 +98,27 @@ def test_neardup_clusters_properties(spark):
     assert all(sizes[r["cluster_id"]] == r["cluster_n"] for r in rows)
 
 
+def test_neardup_clusters_lsh_is_valid_cc_of_candidates(spark):
+    """The LSH-fed clustering (rows-only — engine-hash pair set) must be a
+    VALID connected-components assignment of its own candidate pairs:
+    every candidate pair co-clustered, representatives cluster-minimal,
+    two runs bit-identical."""
+    rows = _QUERIES["neardup_clusters_lsh"](spark, SF).collect()
+    by_doc = {r["doc_id"]: r["cluster_id"] for r in rows}
+    assert len(by_doc) == len(rows)  # total assignment, once per doc
+    pairs = _QUERIES["lsh_bucket_candidates"](spark, SF).collect()
+    for p in pairs:  # co-clustering: the defining CC property
+        assert by_doc[p["doc_a"]] == by_doc[p["doc_b"]]
+    for r in rows:
+        assert r["cluster_id"] <= r["doc_id"]
+        assert r["is_rep"] == int(r["doc_id"] == r["cluster_id"])
+    again = {
+        r["doc_id"]: r["cluster_id"]
+        for r in _QUERIES["neardup_clusters_lsh"](spark, SF).collect()
+    }
+    assert by_doc == again
+
+
 def test_selection_neardup_subset_of_exact_selection(spark):
     """Near-dup selection can only shrink the exact-dedup selection, and
     representatives must be selected docs."""

@@ -23,6 +23,7 @@ def test_all_queries_match_oracle(spark):
     assert set(rows_only) <= {
         "minhash_signatures",
         "lsh_bucket_candidates",
+        "neardup_clusters_lsh",
         "simhash_fingerprint",
         "doc_fingerprint",
         "ann_lsh_bucketed",
