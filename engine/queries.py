@@ -2417,14 +2417,18 @@ def q_pagerank_txn_graph(spark, sf_dir):
     # the timed pass rebuilds the edges instead of hitting the warm
     # pass's cache.
     while _PAGERANK_CACHED:
+        cached = _PAGERANK_CACHED.pop()
         try:
-            _PAGERANK_CACHED.pop().unpersist()
+            cached.unpersist()
         except Exception:
-            # the cached subtree belongs to a since-stopped SparkSession
-            # (bench.py stops/recreates sessions in one process) — a dead
-            # handle must not crash query CONSTRUCTION; the old session's
-            # cache died with its JVM context anyway
-            pass
+            # a subtree from a since-stopped SparkSession (bench.py
+            # stops/recreates sessions in one process) must not crash
+            # query CONSTRUCTION — its cache died with the JVM context.
+            # But a failure on the CURRENT session is a real leak (the
+            # frame stays persisted with no owner and the next timed
+            # pass hits a warm cache): surface it.
+            if getattr(cached, "sparkSession", None) is spark:
+                raise
     contrib_src = edges.join(deg, "src").persist()
     nodes = edges.select(F.col("src").alias("id")).distinct().persist()
     nn = nodes.agg(F.count("*").cast("double").alias("n"))
@@ -2902,6 +2906,25 @@ def _cc_sql(pairs_sql: str, nodes_cte: str) -> str:
     """
 
 
+def _clusters_from_pairs(spark, sf_dir, pairs):
+    """Shared pairs → assignment tail of both clustering queries: CC over
+    the pair set, left-join every document (singletons map to
+    themselves), cluster_n member counts, is_rep = min-doc_id keeper."""
+    from engine.cluster import connected_components
+
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    assigned = d.join(cc, d["doc_id"] == cc["id"], "left").select(
+        "doc_id", F.coalesce("label", "doc_id").alias("cluster_id")
+    )
+    return assigned.select(
+        "doc_id",
+        "cluster_id",
+        F.count("*").over(W.partitionBy("cluster_id")).alias("cluster_n"),
+        (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_rep"),
+    )
+
+
 def q_neardup_clusters(spark, sf_dir):
     """Pairs → clusters: connected components over the ngram-Jaccard
     near-dup pair set (engine/cluster.py — iterative min-label propagation
@@ -2914,20 +2937,8 @@ def q_neardup_clusters(spark, sf_dir):
     Scale: the pair set is the bucketed sub-quadratic one; per CC round
     only (id,label) longs shuffle, O(log diameter) rounds. Oracle: DuckDB
     recursive-CTE transitive closure — exact agreement, value-hash."""
-    from engine.cluster import connected_components
-
     pairs = q_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    cc = connected_components(pairs, "doc_a", "doc_b")
-    d = _t(spark, sf_dir, "documents").select("doc_id")
-    assigned = d.join(cc, d["doc_id"] == cc["id"], "left").select(
-        "doc_id", F.coalesce("label", "doc_id").alias("cluster_id")
-    )
-    return assigned.select(
-        "doc_id",
-        "cluster_id",
-        F.count("*").over(W.partitionBy("cluster_id")).alias("cluster_n"),
-        (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_rep"),
-    )
+    return _clusters_from_pairs(spark, sf_dir, pairs)
 
 
 def _sql_neardup_clusters():
@@ -2956,20 +2967,8 @@ def q_neardup_clusters_lsh(spark, sf_dir):
     the clustering itself is pinned by tests/test_cluster.py (CC validity:
     every candidate pair ends up co-clustered, representatives are
     cluster-minimal, two runs bit-identical)."""
-    from engine.cluster import connected_components
-
     pairs = q_lsh_bucket_candidates(spark, sf_dir).select("doc_a", "doc_b")
-    cc = connected_components(pairs, "doc_a", "doc_b")
-    d = _t(spark, sf_dir, "documents").select("doc_id")
-    assigned = d.join(cc, d["doc_id"] == cc["id"], "left").select(
-        "doc_id", F.coalesce("label", "doc_id").alias("cluster_id")
-    )
-    return assigned.select(
-        "doc_id",
-        "cluster_id",
-        F.count("*").over(W.partitionBy("cluster_id")).alias("cluster_n"),
-        (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_rep"),
-    )
+    return _clusters_from_pairs(spark, sf_dir, pairs)
 
 
 def q_training_set_selection_neardup(spark, sf_dir):

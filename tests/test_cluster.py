@@ -169,7 +169,7 @@ def test_pagerank_construction_survives_stale_cache_entries(spark):
 
     patched: list = [_Dead()]
     with mock.patch.object(Q, "_PAGERANK_CACHED", patched):
-        df = Q.q_pagerank_txn_graph(spark, "/root/testdata/sf0.001")
+        df = Q.q_pagerank_txn_graph(spark, SF)
         assert df.schema is not None  # construction completed
     for cached in patched:  # don't leak this call's persists into the session
         cached.unpersist()

@@ -176,13 +176,19 @@ def test_lsh_bucket_cap_drops_degenerate_bucket(spark, tmp_path):
 
 
 def test_fingerprint_no_python_udf(spark):
-    """All four engine-hash ops must stay JVM-side: no BatchEvalPython /
-    ArrowEvalPython / mapInPandas in their physical plans."""
+    """All engine-hash ops must stay JVM-side: no BatchEvalPython /
+    ArrowEvalPython / mapInPandas in their physical plans. The LSH-fed
+    clustering runs its CC fixpoint at construction, so its returned plan
+    covers the assignment tail over the checkpointed labels — still a
+    Python-free surface worth pinning."""
+    from engine.queries import q_neardup_clusters_lsh
+
     for q in (
         q_minhash_signatures,
         q_simhash_fingerprint,
         q_doc_fingerprint,
         q_lsh_bucket_candidates,
+        q_neardup_clusters_lsh,
     ):
         plan = q(spark, SF)._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan, q.__name__
