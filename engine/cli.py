@@ -133,6 +133,17 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     a = p.parse_args(argv)
+    # degenerate list args fail fast, before a Spark session spins up:
+    # an empty base set would turn an increment into a full re-extract
+    # (url-disjointness break), an empty run-id list would IndexError
+    if a.verb == "increment" and not [
+        r for r in a.base_run_ids.split(",") if r.strip()
+    ]:
+        p.error("--base-run-ids must name at least one completed base run")
+    if a.verb == "export" and not [
+        r for r in a.run_id.split(",") if r.strip()
+    ]:
+        p.error("--run-id must name at least one run")
     spark = _spark()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -208,6 +208,12 @@ def run_extract_job(
         keyed = with_partition_id(pages, manifest.state()["n_partitions"])
     else:
         staged = stage_pages(spark, pages, manifest)
+        # explicit schema (known statically from the input): skips footer
+        # inference and keeps an all-empty staged table (empty corpus)
+        # readable instead of dying with UNABLE_TO_INFER_SCHEMA
+        staged_schema = with_partition_id(
+            pages, manifest.state()["n_partitions"]
+        ).schema
 
     for w0 in range(0, len(pending), wave_size):
         if max_waves is not None and waves_run >= max_waves:
@@ -220,7 +226,7 @@ def run_extract_job(
             # partition_id is a partition DIRECTORY of the staged table →
             # this filter prunes to the wave's files (pinned by the
             # inputFiles test)
-            batch = spark.read.parquet(staged).where(
+            batch = spark.read.schema(staged_schema).parquet(staged).where(
                 F.col("partition_id").isin(wave)
             )
         extracted = batch.select("url", "html", "partition_id").mapInArrow(
@@ -238,23 +244,35 @@ def run_extract_job(
         )
         # lineage from the just-written files (counts what was COMMITTED,
         # not what was attempted); partition pruning keeps the read to the
-        # wave's own output dirs
-        out = spark.read.parquet(manifest.extracted_path).where(
-            F.col("partition_id").isin(wave)
-        )
+        # wave's own output dirs. A run whose every wave is empty (empty
+        # corpus) never creates extracted/ at all — dynamic overwrite of
+        # zero partitions writes nothing — so the commit proceeds with
+        # zero lineage rows instead of failing schema inference.
+        import os as _os
+
         wall_ms = int((time.monotonic() - t0) * 1000)
-        row_hash = F.xxhash64(
-            F.col("url"), F.coalesce(F.col("text"), F.lit(""))
-        )
-        lin_rows = (
-            out.groupBy("partition_id")
-            .agg(
-                F.count("*").alias("doc_count"),
-                F.sum(F.coalesce(F.col("n_chars"), F.lit(0))).alias("byte_count"),
-                _content_checksum(row_hash).alias("checksum"),
+        if _os.path.exists(manifest.extracted_path):
+            # explicit schema: an empty wave may leave the directory with
+            # zero data files (only _SUCCESS) — inference would die
+            out = spark.read.schema(
+                EXTRACTED_DDL + ", partition_id int"
+            ).parquet(manifest.extracted_path).where(
+                F.col("partition_id").isin(wave)
             )
-            .collect()
-        )
+            row_hash = F.xxhash64(
+                F.col("url"), F.coalesce(F.col("text"), F.lit(""))
+            )
+            lin_rows = (
+                out.groupBy("partition_id")
+                .agg(
+                    F.count("*").alias("doc_count"),
+                    F.sum(F.coalesce(F.col("n_chars"), F.lit(0))).alias("byte_count"),
+                    _content_checksum(row_hash).alias("checksum"),
+                )
+                .collect()
+            )
+        else:
+            lin_rows = []
         lineage = spark.createDataFrame(
             [
                 (
@@ -308,33 +326,61 @@ def _lineage_ddl() -> str:
     )
 
 
+def _lineage_committed_docs(spark: SparkSession, manifest: RunManifest) -> int:
+    """Total docs the lineage says were committed — the arbiter for whether
+    an unreadable extracted/ may degrade to an empty table (0 docs: the
+    empty-corpus case) or must raise (data was committed and is now gone)."""
+    row = (
+        read_lineage(spark, manifest)
+        .agg(F.coalesce(F.sum("doc_count"), F.lit(0)).alias("docs"))
+        .collect()[0]
+    )
+    return int(row["docs"])
+
+
 def read_extracted(spark: SparkSession, manifest: RunManifest) -> DataFrame:
     """Committed view: only partitions the manifest says are committed.
     A run with no commits yet reads as an empty table, not an error."""
     import os
 
-    committed = manifest.committed_partitions()
-    if not committed or not os.path.exists(manifest.extracted_path):
+    def _empty_or_raise(reason: str) -> DataFrame:
+        # ONLY the legitimately-empty run degrades to an empty table: a
+        # committed run over an EMPTY corpus writes no data files (schema
+        # inference fails / no dir). If lineage says docs WERE committed,
+        # the extracted directory has been lost or truncated — degrading
+        # would let export publish a 0-row table with exit code 0.
+        docs = _lineage_committed_docs(spark, manifest)
+        if docs > 0:
+            raise RuntimeError(
+                f"run {manifest.run_id}: lineage records {docs} committed "
+                f"docs but extracted data is unreadable ({reason}) — "
+                "refusing to degrade to an empty table; restore extracted/ "
+                "(or the .pre_compact backup) before reading or exporting"
+            )
         return spark.createDataFrame(
             [], schema=EXTRACTED_DDL + ", partition_id int"
         )
+
+    committed = manifest.committed_partitions()
+    if not committed:
+        return spark.createDataFrame(
+            [], schema=EXTRACTED_DDL + ", partition_id int"
+        )
+    if not os.path.exists(manifest.extracted_path):
+        return _empty_or_raise("extracted/ directory missing")
     from pyspark.errors import AnalysisException
 
     try:
         df = spark.read.parquet(manifest.extracted_path)
     except AnalysisException as e:
-        # a committed run over an EMPTY corpus writes no data files —
-        # schema inference fails; it reads as an empty table. try/except
-        # keeps the healthy path free of any extra filesystem walk. ONLY
-        # the no-data classes degrade to empty: any other analysis error
-        # (conflicting partition layouts, corrupt footers) on a run the
-        # manifest says has committed data must surface, or export would
-        # silently publish an empty table.
+        # try/except keeps the healthy path free of any extra filesystem
+        # walk. ONLY the no-data classes may degrade (via the lineage
+        # check): any other analysis error (conflicting partition layouts,
+        # corrupt footers) on a run the manifest says has committed data
+        # must surface, or export would silently publish an empty table.
         if e.getCondition() not in ("UNABLE_TO_INFER_SCHEMA", "PATH_NOT_FOUND"):
             raise
-        return spark.createDataFrame(
-            [], schema=EXTRACTED_DDL + ", partition_id int"
-        )
+        return _empty_or_raise(str(e.getCondition()))
     if len(committed) == manifest.state()["n_partitions"]:
         # fully committed: skip the isin filter — at 10^6 partitions the
         # predicate alone bloats the plan, and it would prune nothing
@@ -487,6 +533,15 @@ def enqueue_increment(
     import shutil
     import uuid as _uuid
 
+    if not base_run_ids:
+        # an increment with no bases is semantically a plain enqueue —
+        # accepting it would skip the anti-join, re-extract every base
+        # url, and a later multi-run export would double-count them,
+        # silently breaking cross-run url-disjointness
+        raise ValueError(
+            "enqueue_increment requires at least one base run id; "
+            "use enqueue() for a fresh ingest"
+        )
     run_id = run_id or ("inc-" + _uuid.uuid4().hex[:12])
     input_path = os.path.join(runs_root, run_id, "increment_input")
     existing = RunManifest(runs_root, run_id)

@@ -63,3 +63,24 @@ def test_cli_full_lifecycle(spark, tmp_path, capsys, monkeypatch):
     r = _run(capsys, "compact", "--runs-root", root, "--run-id", "d1",
              "--target-file-mb", "1")
     assert r["files_after"] <= r["files_before"]
+
+
+def test_cli_degenerate_list_args_fail_fast(tmp_path):
+    """ADVICE round-3: comma/whitespace-only list args must die with a
+    usage error BEFORE a Spark session starts — an empty --base-run-ids
+    would re-extract every base url; an empty export --run-id used to
+    IndexError on ms[0]."""
+    import pytest
+
+    from engine.cli import main
+
+    with pytest.raises(SystemExit):
+        main([
+            "increment", "--pages", "x", "--runs-root", str(tmp_path),
+            "--base-run-ids", " , ",
+        ])
+    with pytest.raises(SystemExit):
+        main([
+            "export", "--runs-root", str(tmp_path), "--run-id", " ,, ",
+            "--dest", str(tmp_path / "out"),
+        ])

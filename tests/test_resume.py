@@ -543,3 +543,42 @@ def test_increment_resume_rejects_changed_base_set(spark, pages, tmp_path):
     inc2, resumed = enqueue_increment(spark, bigger, root, ["b1"],
                                       run_id="inc")
     assert inc2.run_id == "inc" and resumed.count() == new_pages.count()
+
+
+def test_lost_extracted_dir_raises_not_empty(spark, pages, tmp_path):
+    """ADVICE round-3: if lineage says docs were committed but extracted/
+    is wholly gone (not just a broken layout), read_extracted must RAISE —
+    PATH_NOT_FOUND used to degrade to an empty table, letting export
+    publish 0 rows with exit code 0."""
+    import shutil
+
+    root = str(tmp_path / "runs")
+    man = enqueue(spark, pages, root, min_partitions=4, run_id="lost-test")
+    run_extract_job(spark, pages, man, wave_size=4)
+    assert read_extracted(spark, man).count() > 0
+    shutil.rmtree(man.extracted_path)
+    with pytest.raises(RuntimeError, match="lineage records"):
+        read_extracted(spark, man).count()
+
+
+def test_empty_corpus_run_still_reads_as_empty(spark, pages, tmp_path):
+    """The legitimate degradation case the lost-dir guard must NOT break:
+    a committed run over an empty corpus writes no data files and reads
+    as an empty table (lineage doc sum is 0)."""
+    root = str(tmp_path / "runs")
+    man = enqueue(
+        spark, pages.limit(0), root, min_partitions=4, run_id="empty-test"
+    )
+    run_extract_job(spark, pages.limit(0), man, wave_size=4)
+    assert man.is_complete()
+    assert read_extracted(spark, man).count() == 0
+
+
+def test_increment_refuses_empty_base_set(spark, pages, tmp_path):
+    """ADVICE round-3: an increment with no bases would skip the anti-join
+    and re-extract every base url (a later multi-run export then
+    double-counts) — it must raise, not silently behave like enqueue."""
+    from engine.jobs.extract_job import enqueue_increment
+
+    with pytest.raises(ValueError, match="at least one base run"):
+        enqueue_increment(spark, pages, str(tmp_path / "runs"), [])
