@@ -119,6 +119,33 @@ def test_neardup_clusters_lsh_is_valid_cc_of_candidates(spark):
     assert by_doc == again
 
 
+def test_neardup_clusters_emb_is_valid_cc_of_pairs(spark):
+    """The embedding-LSH-fed clustering (rows-only — probabilistic pair
+    set) must be a VALID connected-components assignment of its own
+    verified pair set: every vector assigned once, every verified pair
+    co-clustered, representatives cluster-minimal and marked, cluster_n
+    consistent, two runs bit-identical."""
+    rows = _QUERIES["neardup_clusters_emb"](spark, SF).collect()
+    by_vec = {r["vec_id"]: r["cluster_id"] for r in rows}
+    assert len(by_vec) == len(rows)  # total assignment, once per vector
+    pairs = _QUERIES["embedding_neardup_pairs_lsh"](spark, SF).collect()
+    assert pairs  # non-vacuous: the battery threshold yields real pairs
+    for p in pairs:  # co-clustering: the defining CC property
+        assert by_vec[p["vec_a"]] == by_vec[p["vec_b"]]
+    from collections import Counter
+
+    sizes = Counter(r["cluster_id"] for r in rows)
+    for r in rows:
+        assert r["cluster_id"] <= r["vec_id"]
+        assert r["is_rep"] == int(r["vec_id"] == r["cluster_id"])
+        assert sizes[r["cluster_id"]] == r["cluster_n"]
+    again = {
+        r["vec_id"]: r["cluster_id"]
+        for r in _QUERIES["neardup_clusters_emb"](spark, SF).collect()
+    }
+    assert by_vec == again
+
+
 def test_selection_neardup_subset_of_exact_selection(spark):
     """Near-dup selection can only shrink the exact-dedup selection, and
     representatives must be selected docs."""

@@ -24,6 +24,7 @@ def test_all_queries_match_oracle(spark):
         "minhash_signatures",
         "lsh_bucket_candidates",
         "neardup_clusters_lsh",
+        "neardup_clusters_emb",
         "simhash_fingerprint",
         "doc_fingerprint",
         "ann_lsh_bucketed",
