@@ -59,6 +59,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "150000"))
 BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+QUERY_REPS = int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "3"))
 # Primary N→4N scaling pair sits in the hardware's LINEAR region (2→8):
 # raw-multiprocessing calibration shows this VM's 32 vCPUs deliver only
 # ~1.4-2x the throughput of 8 procs for ANY memory-heavy CPU-bound work
@@ -99,6 +100,15 @@ HEADLINE = [
     "grouping_sets_events",
     "training_set_selection",
     "neardup_clusters",
+    "neardup_clusters_lsh",
+    "neardup_clusters_emb",
+    "lsh_bucket_candidates",
+    "doc_fingerprint",
+    "incremental_dedup",
+    "multimodal_image_topk",
+    "multimodal_image_meta",
+    "multimodal_audio_meta",
+    "multimodal_audio_loudest",
     "repetition_metrics",
     "ngram_decontaminate",
     "passage_dedup",
@@ -199,26 +209,35 @@ def time_extract(cores: int, meta: dict) -> dict:
         spark.stop()
 
 
-def time_queries() -> dict[str, float]:
+def time_queries() -> tuple[dict[str, float], dict[str, list[float]]]:
+    """Per-query steady-state timings: one warm pass (JIT/codegen/python-
+    worker spawn), then QUERY_REPS timed passes INTERLEAVED across the
+    whole headline set (rep loop outside, query loop inside) so a host
+    slow phase hits one rep of every query instead of every rep of one
+    query. Returns (min per query — the floor the headline cites — and
+    ALL rep times, so a floor-vs-outlier dispute is adjudicable from the
+    emitted JSON alone; round-3 verdict item)."""
     from engine.queries import queries as reg
 
     qs = reg()
     spark = _session(CPUS, "queries")
     spark.sparkContext.setLogLevel("ERROR")
-    timings: dict[str, float] = {}
+    reps: dict[str, list[float]] = {name: [] for name in HEADLINE}
     try:
         for name in HEADLINE:
-            fn = qs[name]
-            # warm pass (JIT/codegen/python-worker spawn), then timed pass —
-            # reports steady-state per-query cost, immune to cold-start and
-            # transient shared-host noise
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            t0 = time.monotonic()
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.monotonic() - t0, 3)
+            qs[name](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        for _rep in range(QUERY_REPS):
+            for name in HEADLINE:
+                t0 = time.monotonic()
+                qs[name](spark, SF_DIR).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                reps[name].append(round(time.monotonic() - t0, 3))
     finally:
         spark.stop()
-    return timings
+    return {n: min(r) for n, r in reps.items()}, reps
 
 
 def hw_ceiling(core_pairs: list[int], docs: list) -> dict:
@@ -268,22 +287,26 @@ def time_extract_robust(meta: dict) -> tuple[dict[int, dict], dict[str, float]]:
     ratio itself noisy)."""
     best: dict[int, dict] = {}
     hw_best: dict[str, float] = {}
+    rep_walls: dict[str, list[float]] = {}
+    hw_reps: dict[str, list[float]] = {}
     docs = hw_docs()
     for _rep in range(BENCH_REPS):
         for cores in (N_SMALL, N_BIG, N_MAX):
             r = time_extract(cores, meta)
+            rep_walls.setdefault(str(cores), []).append(r["wall_sec"])
             if cores not in best or r["wall_sec"] < best[cores]["wall_sec"]:
                 best[cores] = r
         for k, thr in hw_ceiling([N_SMALL, N_BIG, N_MAX], docs).items():
+            hw_reps.setdefault(k, []).append(thr)
             hw_best[k] = max(hw_best.get(k, 0.0), thr)
-    return best, hw_best
+    return best, hw_best, rep_walls, hw_reps
 
 
 def main() -> None:
     t_total0 = time.monotonic()
     meta = ensure_corpus()
-    queries = time_queries()
-    legs, hw = time_extract_robust(meta)
+    queries, query_reps = time_queries()
+    legs, hw, rep_walls, hw_reps = time_extract_robust(meta)
     small, big, maxed = legs[N_SMALL], legs[N_BIG], legs[N_MAX]
     eff = (big["docs_per_sec"] / small["docs_per_sec"]) / (N_BIG / N_SMALL)
     eff_max = (maxed["docs_per_sec"] / big["docs_per_sec"]) / (N_MAX / N_BIG)
@@ -298,6 +321,9 @@ def main() -> None:
         "unit": "docs/sec",
         "sf": 0.1,
         "queries": queries,
+        # every rep time behind each reported min — floor-vs-outlier
+        # disputes are adjudicable from this JSON alone (round-3 verdict)
+        "query_reps": query_reps,
         "extract": {
             "corpus_rows": meta["rows"],
             "corpus_html_mb": round(meta["html_bytes"] / 1e6, 1),
@@ -307,7 +333,9 @@ def main() -> None:
             "scaling_efficiency_n_to_4n": round(eff, 3),
             "scaling_target": 0.8,
             "scaling_efficiency_secondary_pair": round(eff_max, 3),
+            "rep_wall_sec": rep_walls,
             "hw_ceiling_docs_per_sec": hw,
+            "hw_ceiling_reps": hw_reps,
             "hw_ceiling_efficiency_n_to_4n": round(hw_eff, 3),
             "hw_ceiling_efficiency_secondary": round(hw_eff_max, 3),
             # engine scaling ÷ same-run hardware ceiling, both pairs: the

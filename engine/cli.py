@@ -112,6 +112,20 @@ def main(argv: list[str] | None = None) -> int:
     ip.add_argument("--target-partition-mb", type=int, default=64)
     ip.add_argument("--wave-size", type=int, default=8)
 
+    dd = sub.add_parser(
+        "dedup-increment",
+        description="Content-level cross-run dedup: classify an increment "
+        "run's docs against the base runs' kept text (exact sha256 match "
+        "+ MinHash-LSH band probe with exact-Jaccard verification). "
+        "Prints per-status counts; --out writes the per-url "
+        "classification as parquet.",
+    )
+    dd.add_argument("--runs-root", required=True)
+    dd.add_argument("--base-run-ids", required=True)
+    dd.add_argument("--run-id", required=True, help="the increment run")
+    dd.add_argument("--jaccard", type=float, default=0.5)
+    dd.add_argument("--out")
+
     vp = sub.add_parser(
         "vacuum",
         description="Expire a completed run's recoverable artifacts "
@@ -136,7 +150,7 @@ def main(argv: list[str] | None = None) -> int:
     # degenerate list args fail fast, before a Spark session spins up:
     # an empty base set would turn an increment into a full re-extract
     # (url-disjointness break), an empty run-id list would IndexError
-    if a.verb == "increment" and not [
+    if a.verb in ("increment", "dedup-increment") and not [
         r for r in a.base_run_ids.split(",") if r.strip()
     ]:
         p.error("--base-run-ids must name at least one completed base run")
@@ -226,6 +240,36 @@ def main(argv: list[str] | None = None) -> int:
         pages = spark.read.parquet(a.pages)
         m = RunManifest.load(a.runs_root, a.run_id)
         print(json.dumps(retry_failed(spark, pages, m)))
+    elif a.verb == "dedup-increment":
+        from pyspark.sql import functions as F
+
+        from engine.jobs.extract_job import dedup_increment_docs
+
+        df = dedup_increment_docs(
+            spark,
+            a.runs_root,
+            [r.strip() for r in a.base_run_ids.split(",") if r.strip()],
+            a.run_id,
+            jaccard_threshold=a.jaccard,
+        )
+        if a.out:
+            df.write.mode("overwrite").parquet(a.out)
+            df = spark.read.parquet(a.out)  # counts from the published table
+        counts = {
+            r["status"]: int(r["n"])
+            for r in df.groupBy("status").agg(F.count("*").alias("n")).collect()
+        }
+        print(
+            json.dumps(
+                {
+                    "run_id": a.run_id,
+                    **{
+                        s: counts.get(s, 0)
+                        for s in ("kept", "exact_dup", "near_dup")
+                    },
+                }
+            )
+        )
     elif a.verb == "vacuum":
         from engine.jobs.extract_job import vacuum_run
 

@@ -645,6 +645,140 @@ def read_extracted_across(
     )
 
 
+def dedup_increment_docs(
+    spark: SparkSession,
+    runs_root: str,
+    base_run_ids: list[str],
+    increment_run_id: str,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Cross-run CONTENT dedup — the weekly-crawl shape: classify every
+    doc an increment run extracted against the union of the base runs'
+    kept text. The increment machinery (enqueue_increment) already
+    guarantees no base URL is re-extracted; this catches the other
+    duplication channel — the SAME content re-crawled under a NEW url —
+    which url-level dedup cannot see.
+
+    Returns one row per ok-extracted increment doc:
+      url       — the increment doc
+      status    — 'exact_dup' (sha256 matches a base doc), 'near_dup'
+                  (3-gram-shingle Jaccard ≥ threshold with a base doc),
+                  or 'kept'
+      dup_of    — smallest matching base url (exact wins over near)
+
+    Scale shape: the exact stage ships 64-char digests (base side
+    pre-collapsed to one row per digest). The near stage is the probe
+    pattern: MinHash band hashes (engine/queries.py banding — the SAME
+    signature definition as the battery queries, so a published base
+    bucket table stays probe-compatible) joined on (band_idx, band_hash),
+    base-side degenerate buckets capped, then candidates verified with an
+    exact distinct-shingle Jaccard via array_intersect — per candidate
+    pair only, never base × increment. A production deployment publishes
+    the base's (url, band_idx, band_hash) rows once per run next to the
+    lineage and the weekly probe reads them instead of recomputing; both
+    sides are built from the same helpers either way.
+
+    Query twin: engine/queries.py :: q_incremental_dedup — identical
+    classification semantics over the battery tables with a DuckDB
+    oracle, so the run-level job's logic is value-checkable at sf0.01."""
+    from pyspark.sql import Window as W
+
+    from engine.queries import (
+        MAX_BAND_BUCKET,
+        _shingle_expr,
+        band_hashes_for,
+        minhash_signatures_for,
+    )
+
+    if not base_run_ids:
+        raise ValueError("dedup_increment_docs requires at least one base run")
+    inc = (
+        read_current_extracted(
+            spark, RunManifest.load(runs_root, increment_run_id)
+        )
+        .where(F.col("status") == "ok")
+        .select("url", "text")
+    )
+    base = _union_current(
+        spark, [RunManifest.load(runs_root, rid) for rid in base_run_ids]
+    ).where(F.col("status") == "ok").select("url", "text")
+
+    base_dig = base.groupBy(
+        F.sha2(F.col("text"), 256).alias("digest")
+    ).agg(F.min("url").alias("exact_dup_of"))
+    exact = (
+        inc.select("url", F.sha2(F.col("text"), 256).alias("digest"))
+        .join(base_dig, "digest", "left")
+        .select("url", "exact_dup_of")
+    )
+
+    inc_bands = band_hashes_for(
+        minhash_signatures_for(inc, id_col="url"), id_col="url"
+    )
+    base_bands = band_hashes_for(
+        minhash_signatures_for(base, id_col="url"), id_col="url"
+    ).withColumnRenamed("url", "base_url")
+    base_bands = (
+        base_bands.withColumn(
+            "bucket_n",
+            F.count("*").over(W.partitionBy("band_idx", "band_hash")),
+        )
+        .where(F.col("bucket_n") <= MAX_BAND_BUCKET)
+        .drop("bucket_n")
+    )
+    cand = (
+        inc_bands.join(base_bands, ["band_idx", "band_hash"])
+        .select("url", "base_url")
+        .distinct()
+    )
+
+    def _sh(df, id_alias):
+        toks = F.split(F.col("text"), " ")
+        return df.select(
+            F.col("url").alias(id_alias),
+            F.filter(
+                _shingle_expr(toks), lambda s: F.length(s) > 0
+            ).alias(f"sh_{id_alias}"),
+        )
+
+    ver = (
+        cand.join(_sh(inc, "url"), "url")
+        .join(_sh(base, "base_url"), "base_url")
+        .select(
+            "url",
+            "base_url",
+            F.size(F.array_intersect("sh_url", "sh_base_url")).alias("n_i"),
+            F.size("sh_url").alias("n_a"),
+            F.size("sh_base_url").alias("n_b"),
+        )
+    )
+    near = (
+        ver.where(
+            # try_divide: two empty-shingle docs (all-sentinel signatures)
+            # share every band bucket and reach here with a 0 union —
+            # NULL Jaccard drops them instead of an ANSI divide-by-zero
+            F.round(
+                F.try_divide(
+                    F.col("n_i"),
+                    F.col("n_a") + F.col("n_b") - F.col("n_i"),
+                ),
+                4,
+            )
+            >= jaccard_threshold
+        )
+        .groupBy("url")
+        .agg(F.min("base_url").alias("near_dup_of"))
+    )
+    return exact.join(near, "url", "left").select(
+        "url",
+        F.when(F.col("exact_dup_of").isNotNull(), F.lit("exact_dup"))
+        .when(F.col("near_dup_of").isNotNull(), F.lit("near_dup"))
+        .otherwise(F.lit("kept"))
+        .alias("status"),
+        F.coalesce("exact_dup_of", "near_dup_of").alias("dup_of"),
+    )
+
+
 def export_run(
     spark: SparkSession,
     manifest: RunManifest | list[RunManifest],

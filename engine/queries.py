@@ -1821,16 +1821,16 @@ def _shingle_expr(toks):
     )
 
 
-def _minhash_sig_df(spark, sf_dir):
-    """MinHash signatures fully JVM-side: per permutation k, the signature
-    is min over shingles of xxhash64(shingle, k) — higher-order functions
-    only, no Python in the loop. Returns the array<long> signature column
-    for internal composition (LSH banding); the REGISTERED query
-    q_minhash_signatures projects it to scalar rows because the driver's
-    pandas canonicalizer cannot hash list cells (round-1 red row).
-    Scale: O(docs x shingles) map-side, no shuffle at all."""
-    d = _t_spread(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.col("text"), " ").alias("toks")
+def minhash_signatures_for(df, id_col="doc_id", text_col="text"):
+    """DataFrame-parameterized MinHash signature (array layout): per
+    permutation k, min over distinct 3-gram shingles of
+    xxhash64(shingle, k) — higher-order functions only, no Python, no
+    shuffle. Shared by the battery query (documents table) and the
+    run-level incremental content dedup (extracted runs keyed by url);
+    one definition, so a base corpus's published band buckets and a later
+    increment's probe can never desynchronize."""
+    d = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("toks")
     )
     shingles = _shingle_expr(F.col("toks"))
     sig = F.transform(
@@ -1851,8 +1851,15 @@ def _minhash_sig_df(spark, sf_dir):
         ),
     )
     return (
-        d.select("doc_id", shingles.alias("shingles"))
-        .select("doc_id", sig.alias("minhash"))
+        d.select(id_col, shingles.alias("shingles"))
+        .select(id_col, sig.alias("minhash"))
+    )
+
+
+def _minhash_sig_df(spark, sf_dir):
+    """Battery-table MinHash signatures (see minhash_signatures_for)."""
+    return minhash_signatures_for(
+        _t_spread(spark, sf_dir, "documents"), id_col="doc_id"
     )
 
 
@@ -1900,26 +1907,14 @@ def q_minhash_signatures(spark, sf_dir):
 MAX_BAND_BUCKET = 4096
 
 
-def q_lsh_bucket_candidates(
-    spark, sf_dir, max_bucket: int = MAX_BAND_BUCKET
-):
-    """MinHash-LSH near-dup candidates: band the signature (4 bands x 4
-    rows), hash each band, groupBy (band_idx, band_hash) → docs sharing any
-    band bucket are candidate pairs. The only shuffle is on band hashes —
-    the scale path for near-dedup at 10^12 docs. Non-oracle (engine hash);
-    verified in tests against exact Jaccard.
-
-    Degenerate-bucket guard: a band bucket of size s implies s(s-1)/2
-    candidate pairs on one reducer; at web scale the empty-document /
-    template-boilerplate bucket holds millions of docs (10^13 pairs from
-    one key). Buckets larger than `max_bucket` are dropped — above that
-    size the bucket is a degenerate cluster, not near-dup signal. 4096
-    (~8M pairs/bucket max) never binds on testdata; the mechanism is
-    pinned with a binding cap in tests/test_dedup.py."""
-    sigs = _minhash_sig_df(spark, sf_dir)
+def band_hashes_for(sigs, id_col="doc_id"):
+    """(id, band_idx, band_hash) rows from array-layout MinHash
+    signatures — the LSH banding shared by the battery candidate query
+    and the run-level incremental dedup probe (a base corpus publishes
+    these rows; an increment joins its own against them)."""
     rows_per_band = N_MINHASH // LSH_BANDS
-    banded = sigs.select(
-        "doc_id",
+    return sigs.select(
+        id_col,
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
@@ -1941,7 +1936,27 @@ def q_lsh_bucket_candidates(
                 ),
             )
         ).alias("band"),
-    ).select("doc_id", "band.band_idx", "band.band_hash")
+    ).select(id_col, "band.band_idx", "band.band_hash")
+
+
+def q_lsh_bucket_candidates(
+    spark, sf_dir, max_bucket: int = MAX_BAND_BUCKET
+):
+    """MinHash-LSH near-dup candidates: band the signature (4 bands x 4
+    rows), hash each band, groupBy (band_idx, band_hash) → docs sharing any
+    band bucket are candidate pairs. The only shuffle is on band hashes —
+    the scale path for near-dedup at 10^12 docs. Non-oracle (engine hash);
+    verified in tests against exact Jaccard.
+
+    Degenerate-bucket guard: a band bucket of size s implies s(s-1)/2
+    candidate pairs on one reducer; at web scale the empty-document /
+    template-boilerplate bucket holds millions of docs (10^13 pairs from
+    one key). Buckets larger than `max_bucket` are dropped — above that
+    size the bucket is a degenerate cluster, not near-dup signal. 4096
+    (~8M pairs/bucket max) never binds on testdata; the mechanism is
+    pinned with a binding cap in tests/test_dedup.py."""
+    sigs = _minhash_sig_df(spark, sf_dir)
+    banded = band_hashes_for(sigs, id_col="doc_id")
     banded = (
         banded.withColumn(
             "bucket_n",
@@ -2275,6 +2290,139 @@ def _sql_passage_dedup():
     SELECT doc_id, count(*) AS n_kept,
            string_agg(chunk, ' ' ORDER BY pos) AS text_kept
     FROM k WHERE rn = 1 GROUP BY doc_id
+    """
+
+
+_INC_DEDUP_MOD = 4  # doc_id % 4 == 0 → the "increment" slice of the battery
+INC_NEARDUP_J = 0.5  # cross-run near-dup Jaccard threshold
+
+
+def q_incremental_dedup(spark, sf_dir):
+    """Weekly-crawl incremental dedup — the query twin of the run-level
+    job (engine/jobs/extract_job.py :: dedup_increment_docs): treat
+    documents with doc_id % 4 == 0 as this week's increment and the rest
+    as the already-published base corpus, and classify every increment
+    doc as exact_dup (sha256 digest matches a base doc), near_dup
+    (3-gram-shingle Jaccard ≥ 0.5 with a base doc over informative
+    shingles, the same shingle definition and df cap as
+    ngram_jaccard_pairs), or kept; dup_of = the smallest matching base
+    doc_id (exact match wins over near match).
+
+    Scale shape: the exact stage ships 64-char digests (base side
+    pre-collapsed to one row per digest — min doc_id — before the join);
+    the near stage joins base shingle postings to increment postings on
+    the informative-shingle key (df ≤ MAX_SHINGLE_DF kills stop-shingle
+    reducers), so at 10^12 docs the weekly probe touches
+    O(inc_shingles + matched_postings), never base × increment. The
+    run-level job swaps the exact-Jaccard verify for a MinHash-LSH probe
+    of the base's band buckets; this battery twin keeps exact Jaccard so
+    DuckDB can verify values."""
+    d = _t_spread(spark, sf_dir, "documents").select("doc_id", "text")
+    is_inc = F.col("doc_id") % _INC_DEDUP_MOD == 0
+    # exact: base collapsed to min doc_id per digest, left-joined to inc
+    base_dig = (
+        d.where(~is_inc)
+        .groupBy(F.sha2(F.col("text"), 256).alias("digest"))
+        .agg(F.min("doc_id").alias("exact_dup_of"))
+    )
+    exact = (
+        d.where(is_inc)
+        .select("doc_id", F.sha2(F.col("text"), 256).alias("digest"))
+        .join(base_dig, "digest", "left")
+        .select("doc_id", "exact_dup_of")
+    )
+    # near: one shingle posting list over the whole corpus (df cap over
+    # the union, same as the full-corpus pair query), probed cross-side
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    sh = toks.select(
+        "doc_id", F.explode(_shingle_expr(F.col("toks"))).alias("shingle")
+    ).where(F.length("shingle") > 0)
+    sh = (
+        sh.withColumn("df", F.count("*").over(W.partitionBy("shingle")))
+        .where(F.col("df") <= MAX_SHINGLE_DF)
+        .drop("df")
+    )
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.where(is_inc)
+        .alias("i")
+        .join(
+            sh.where(~is_inc).alias("b"),
+            F.col("i.shingle") == F.col("b.shingle"),
+        )
+        .groupBy(
+            F.col("i.doc_id").alias("inc_id"),
+            F.col("b.doc_id").alias("base_id"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    near = (
+        inter.join(counts.alias("ci"), F.col("inc_id") == F.col("ci.doc_id"))
+        .join(counts.alias("cb"), F.col("base_id") == F.col("cb.doc_id"))
+        .where(
+            F.round(
+                F.col("n_inter")
+                / (F.col("ci.n_sh") + F.col("cb.n_sh") - F.col("n_inter")),
+                4,
+            )
+            >= INC_NEARDUP_J
+        )
+        .groupBy(F.col("inc_id").alias("doc_id"))
+        .agg(F.min("base_id").alias("near_dup_of"))
+    )
+    return exact.join(near, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("exact_dup_of").isNotNull(), F.lit("exact_dup"))
+        .when(F.col("near_dup_of").isNotNull(), F.lit("near_dup"))
+        .otherwise(F.lit("kept"))
+        .alias("status"),
+        F.coalesce("exact_dup_of", "near_dup_of").alias("dup_of"),
+    )
+
+
+def _sql_incremental_dedup():
+    return f"""
+    WITH d AS (SELECT doc_id, text FROM documents),
+    base_dig AS (
+      SELECT sha256(text) AS digest, min(doc_id) AS exact_dup_of
+      FROM d WHERE doc_id % {_INC_DEDUP_MOD} <> 0 GROUP BY 1),
+    exact AS (
+      SELECT i.doc_id, b.exact_dup_of
+      FROM d i LEFT JOIN base_dig b ON sha256(i.text) = b.digest
+      WHERE i.doc_id % {_INC_DEDUP_MOD} = 0),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM d),
+    sh_all AS (
+      SELECT DISTINCT doc_id, s AS shingle FROM toks,
+        UNNEST(list_transform(
+          range(0, CASE WHEN len(t) - 3 > 0 THEN len(t) - 3 ELSE 0 END + 1),
+          i -> concat_ws(' ', t[i+1], t[i+2], t[i+3]))) AS u(s)
+      WHERE length(s) > 0),
+    sh AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle,
+               count(*) OVER (PARTITION BY shingle) AS df FROM sh_all)
+      WHERE df <= {MAX_SHINGLE_DF}),
+    counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT i.doc_id AS inc_id, b.doc_id AS base_id, count(*) AS n_inter
+      FROM sh i JOIN sh b ON i.shingle = b.shingle
+      WHERE i.doc_id % {_INC_DEDUP_MOD} = 0
+        AND b.doc_id % {_INC_DEDUP_MOD} <> 0
+      GROUP BY 1, 2),
+    near AS (
+      SELECT inc_id AS doc_id, min(base_id) AS near_dup_of
+      FROM inter
+      JOIN counts ci ON inc_id = ci.doc_id
+      JOIN counts cb ON base_id = cb.doc_id
+      WHERE round(CAST(n_inter AS DOUBLE)
+                  / (ci.n_sh + cb.n_sh - n_inter), 4) >= {INC_NEARDUP_J}
+      GROUP BY 1)
+    SELECT e.doc_id,
+           CASE WHEN e.exact_dup_of IS NOT NULL THEN 'exact_dup'
+                WHEN n.near_dup_of IS NOT NULL THEN 'near_dup'
+                ELSE 'kept' END AS status,
+           coalesce(e.exact_dup_of, n.near_dup_of) AS dup_of
+    FROM exact e LEFT JOIN near n ON e.doc_id = n.doc_id
     """
 
 
@@ -3180,6 +3328,7 @@ _reg(
 _reg("repetition_metrics", q_repetition_metrics, _sql_repetition_metrics())
 _reg("ngram_decontaminate", q_ngram_decontaminate, _sql_ngram_decontaminate())
 _reg("passage_dedup", q_passage_dedup, _sql_passage_dedup())
+_reg("incremental_dedup", q_incremental_dedup, _sql_incremental_dedup())
 _reg("mixture_sample", q_mixture_sample, _sql_mixture_sample())
 _reg("sequence_pack", q_sequence_pack, _sql_sequence_pack())
 _reg("pagerank_txn_graph", q_pagerank_txn_graph, _sql_pagerank_txn_graph())

@@ -582,3 +582,68 @@ def test_increment_refuses_empty_base_set(spark, pages, tmp_path):
 
     with pytest.raises(ValueError, match="at least one base run"):
         enqueue_increment(spark, pages, str(tmp_path / "runs"), [])
+
+
+def test_increment_content_dedup(spark, pages, tmp_path):
+    """The weekly-crawl content channel: enqueue_increment skips
+    re-crawled base URLS, but the SAME content re-crawled under a NEW url
+    re-enters the corpus — dedup_increment_docs must classify it. Plant
+    one exact copy (identical html, new url), one near-dup (one extra
+    sentence spliced into the page stream, new url), and one genuinely
+    new page; re-crawl 10 base urls to confirm they are never
+    re-extracted and never classified."""
+    from engine.jobs.extract_job import dedup_increment_docs, enqueue_increment
+    from engine.synth import gen_doc
+
+    root = str(tmp_path / "runs")
+    man = enqueue(spark, pages, root, min_partitions=8, run_id="cbase")
+    run_extract_job(spark, pages, man, wave_size=8)
+
+    base_rows = (
+        pages.where(F.col("lang") == "en").orderBy("url").limit(30).collect()
+    )
+    # longest doc for the near-dup source: one spliced sentence then moves
+    # the shingle Jaccard least, keeping the pair well above the 0.5
+    # threshold AND comfortably inside MinHash-LSH banding recall
+    src_near = max(
+        (r for r in base_rows if b"</h2><p>" in r["html"]),
+        key=lambda r: len(r["html"]),
+    )
+    src_exact = next(r for r in base_rows if r["url"] != src_near["url"])
+    recrawls = [
+        r for r in base_rows
+        if r["url"] not in (src_near["url"], src_exact["url"])
+    ][:10]
+    fresh = gen_doc(10_000_000)[0]  # far outside the base id range
+    near_html = src_near["html"].replace(
+        b"</h2><p>",
+        b"</h2><p>An entirely new leading sentence planted for the "
+        b"incremental dedup test case.</p><p>",
+        1,
+    )
+    assert near_html != src_near["html"]  # the splice anchored
+    inc_rows = [
+        # 10 re-crawls of base urls: dropped by the url anti-join
+        *[(r["url"], r["warc_ts"], r["html"], None, r["lang"])
+          for r in recrawls],
+        ("http://inc.example/copy", src_exact["warc_ts"],
+         src_exact["html"], None, "en"),
+        ("http://inc.example/near", src_near["warc_ts"],
+         near_html, None, "en"),
+        (fresh["url"], fresh["warc_ts"], fresh["html"], None, fresh["lang"]),
+    ]
+    inc_df = spark.createDataFrame(inc_rows, pages.schema)
+    m2, new_pages = enqueue_increment(spark, inc_df, root, ["cbase"],
+                                      run_id="cinc")
+    res = run_extract_job(spark, new_pages, m2, wave_size=8)
+    assert res["complete"] and res["docs_processed"] == 3  # re-crawls skipped
+
+    cls = {
+        r["url"]: (r["status"], r["dup_of"])
+        for r in dedup_increment_docs(spark, root, ["cbase"], "cinc").collect()
+    }
+    assert len(cls) == 3  # only the increment's own ok docs are classified
+    assert cls["http://inc.example/copy"] == ("exact_dup", src_exact["url"])
+    assert cls["http://inc.example/near"][0] == "near_dup"
+    assert cls["http://inc.example/near"][1] == src_near["url"]
+    assert cls[fresh["url"]] == ("kept", None)
