@@ -88,9 +88,10 @@ def main(argv: list[str] | None = None) -> int:
     cp = sub.add_parser(
         "compact",
         description="Rewrite a completed run's extracted table at the "
-        "target file size. Crash recovery: if a crash leaves no extracted/ "
-        "directory, rename extracted.pre_compact back to extracted/ — the "
-        "backup is only deleted after the new table verifies readable.",
+        "target file size. Publication is an atomic manifest-pointer "
+        "flip to a new extracted.gen-* directory — a kill at any instant "
+        "leaves a readable table; stale generations are expired by "
+        "vacuum.",
     )
     cp.add_argument("--runs-root", required=True)
     cp.add_argument("--run-id", required=True)

@@ -819,11 +819,12 @@ def vacuum_run(spark: SparkSession, manifest: RunManifest) -> dict:
     staged input leftovers (staged/, staged.tmp), the increment's recorded
     input (increment_input — its resume role ends at completion; a
     post-vacuum re-increment of the same run_id is a clean no-op), and the
-    compaction leftovers (extracted.pre_compact / extracted.compact_tmp
-    — their recovery window ends
-    once the compacted table has been read). Refuses incomplete runs:
-    every artifact listed is a live resume/recovery source until the last
-    partition commits."""
+    compaction leftovers (legacy extracted.pre_compact /
+    extracted.compact_tmp, plus any extracted.gen-* generation that is
+    not the manifest's active pointer — an orphan rewrite from a compact
+    killed before its pointer flip, or a superseded generation from one
+    killed just after). Refuses incomplete runs: every artifact listed is
+    a live resume/recovery source until the last partition commits."""
     import os
     import shutil
 
@@ -835,18 +836,26 @@ def vacuum_run(spark: SparkSession, manifest: RunManifest) -> dict:
             "sources)"
         )
     if not os.path.exists(manifest.extracted_path):
-        # a crash between compact_run's two renames leaves the table ONLY
-        # in .pre_compact / .compact_tmp — vacuuming now would delete the
-        # last copy of the data
+        # the pointer names a missing directory (manual damage, or a
+        # legacy two-rename crash) — the data may survive ONLY in a
+        # non-active dir; vacuuming now would delete the last copy
         raise RuntimeError(
-            f"run {manifest.run_id} has no extracted/ directory — recover "
-            "first (rename extracted.pre_compact or extracted.compact_tmp "
-            "back to extracted/), then vacuum"
+            f"run {manifest.run_id}: the active extracted directory "
+            f"({os.path.basename(manifest.extracted_path)}) is missing — "
+            "recover first (point extracted_dir at a surviving "
+            "extracted.gen-* / rename a legacy backup back), then vacuum"
         )
     removed = []
     freed = 0
+    active = os.path.basename(manifest.extracted_path)
+    stale_gens = sorted(
+        p.name
+        for p in manifest.dir.glob("extracted.gen-*")
+        if p.name != active
+    )
     for rel in ("staged", "staged.tmp", "increment_input",
-                "extracted.pre_compact", "extracted.compact_tmp"):
+                "extracted.pre_compact", "extracted.compact_tmp",
+                *stale_gens):
         path = str(manifest.dir / rel)
         if os.path.exists(path):
             freed += sum(
@@ -880,11 +889,15 @@ def compact_run(
 
     Sizing comes from the lineage byte counts (extracted-text bytes — a
     proxy for file bytes; conservative by the parquet compression factor).
-    Publication swaps directories (write tmp → rename away old → rename
-    tmp in); the instant between the two renames is the same
-    non-transactional hole the manifest docstring declares — an Iceberg
-    catalog would close it with a snapshot commit. Refuses incomplete runs
-    (a pending wave would write into the swapped-away dir)."""
+    Publication is a MANIFEST-POINTER FLIP (the Iceberg snapshot-commit
+    analog, round-3 verdict item): the rewrite lands in a fresh
+    generation directory (extracted.gen-NNNN), is verified readable
+    THERE, and becomes the active table via one atomic manifest commit
+    (`extracted_dir` pointer); only then is the previous generation
+    deleted. A kill at ANY instant leaves a readable table — before the
+    flip the pointer still names the old generation (the orphan rewrite
+    is vacuumed later); after it, the new one. Refuses incomplete runs
+    (a pending wave would write into the superseded directory)."""
     import math
     import os
     import shutil
@@ -918,24 +931,29 @@ def compact_run(
         "file_no",
         F.pmod(F.xxhash64("url"), F.coalesce(F.col("n_files"), F.lit(1))),
     ).drop("n_files")
-    tmp = manifest.extracted_path + ".compact_tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
+    old_dir = manifest.extracted_path
+    cur_name = os.path.basename(old_dir)
+    gen = (
+        int(cur_name.rsplit("-", 1)[1]) + 1
+        if cur_name.startswith("extracted.gen-")
+        else 1
+    )
+    new_name = f"extracted.gen-{gen:04d}"
+    new_dir = str(manifest.dir / new_name)
+    shutil.rmtree(new_dir, ignore_errors=True)
     (
         keyed.repartition(max(total_files, 1), "partition_id", "file_no")
         .drop("file_no")
         .write.mode("overwrite")
         .partitionBy("partition_id")
-        .parquet(tmp)
+        .parquet(new_dir)
     )
-    bak = manifest.extracted_path + ".pre_compact"
-    shutil.rmtree(bak, ignore_errors=True)
-    os.rename(manifest.extracted_path, bak)
-    os.rename(tmp, manifest.extracted_path)
-    # the .pre_compact backup survives until the swapped-in table is proven
-    # readable — a crash between the renames (or a corrupt rewrite) is then
-    # recoverable by renaming .pre_compact back over extracted/
-    n_after = len(spark.read.parquet(manifest.extracted_path).inputFiles())
-    shutil.rmtree(bak)
+    # verify the rewrite readable BEFORE it becomes the active table —
+    # a corrupt rewrite never publishes, and the pointer flip below is
+    # the single atomic commit (no unreadable instant at any kill point)
+    n_after = len(spark.read.parquet(new_dir).inputFiles())
+    manifest.set_extracted_dir(new_name)
+    shutil.rmtree(old_dir)  # expire the superseded generation
     return {
         "run_id": manifest.run_id,
         "files_before": n_before,

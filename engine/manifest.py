@@ -79,6 +79,8 @@ class RunManifest:
                 )
             for sub in ("extracted", "extracted_retry", "staged", "staged.tmp", "lineage"):
                 shutil.rmtree(m.dir / sub, ignore_errors=True)
+            for gen in m.dir.glob("extracted.gen-*"):
+                shutil.rmtree(gen, ignore_errors=True)
         m.dir.mkdir(parents=True, exist_ok=True)
         (m.dir / "lineage").mkdir(exist_ok=True)
         state = {
@@ -150,7 +152,22 @@ class RunManifest:
     # ---------------------------------------------------------------- paths
     @property
     def extracted_path(self) -> str:
-        return str(self.dir / "extracted")
+        """The ACTIVE extracted table, resolved through the manifest's
+        `extracted_dir` pointer (default "extracted"). compact_run
+        publishes a rewritten table by flipping this pointer in one
+        atomic manifest commit — the Iceberg-snapshot analog — so there
+        is no instant at which the run has no readable table (the old
+        two-rename swap had one)."""
+        name = self.state().get("extracted_dir", "extracted")
+        return str(self.dir / name)
+
+    def set_extracted_dir(self, name: str) -> None:
+        """Atomically flip the active-table pointer (THE compact commit)."""
+        if "/" in name or not name.startswith("extracted"):
+            raise ValueError(f"not a run-local extracted dir name: {name!r}")
+        st = self.state()
+        st["extracted_dir"] = name
+        self._commit(st)
 
     @property
     def staged_path(self) -> str:

@@ -2536,9 +2536,21 @@ def q_pagerank_txn_graph(spark, sf_dir):
     8-9 references compute them once at action time, and |V| enters the
     rank update as a crossJoined 1-row aggregate, not a driver scalar."""
     d = PAGERANK_DAMP
-    one_minus_d = 1.0 - d  # computed ONCE in IEEE double; the SQL twin
-    # inlines repr() of this exact value — (1-0.85) evaluated in DuckDB's
-    # DECIMAL arithmetic is a DIFFERENT double (0.1499…94 vs 0.15000…02)
+    contrib_src, base, nn = _pagerank_graph(spark, sf_dir)
+    ranks = base.select("id", F.col("r0").alias("r"))
+    for _ in range(PAGERANK_ITERS):
+        ranks = _pagerank_step(contrib_src, base, ranks, d)
+    return _pagerank_project(ranks, nn)
+
+
+def _pagerank_graph(spark, sf_dir):
+    """Shared graph construction for both PageRank variants: persisted
+    (edges⋈outdeg) contribution table, persisted per-node (base, r0)
+    teleport table, and the 1-row node-count aggregate."""
+    one_minus_d = 1.0 - PAGERANK_DAMP  # computed ONCE in IEEE double; the
+    # SQL twin inlines repr() of this exact value — (1-0.85) evaluated in
+    # DuckDB's DECIMAL arithmetic is a DIFFERENT double
+    # (0.1499…94 vs 0.15000…02)
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     pairs = (
@@ -2592,29 +2604,71 @@ def q_pagerank_txn_graph(spark, sf_dir):
         (F.lit(1.0) / F.col("n")).alias("r0"),
     ).persist()
     _PAGERANK_CACHED.extend([contrib_src, nodes, base])
-    ranks = base.select("id", F.col("r0").alias("r"))
-    for _ in range(PAGERANK_ITERS):
-        c = (
-            contrib_src.join(ranks, F.col("src") == F.col("id"))
-            .select("dst", (F.col("r") / F.col("outdeg")).alias("w"))
-            .groupBy("dst")
-            .agg(F.sum("w").alias("s"))
-        )
-        ranks = (
-            base.join(c, base["id"] == c["dst"], "left")
-            .select(
-                "id",
-                (
-                    F.col("base") + F.lit(d) * F.coalesce("s", F.lit(0.0))
-                ).alias("r"),
-            )
-        )
+    return contrib_src, base, nn
+
+
+def _pagerank_step(contrib_src, base, ranks, d):
+    """One damped rank update — the ONE body shared by the fixed-8
+    oracle-exact query (lazy unrolled loop) and the eps-convergent
+    variant (materialized loop), so the two can never drift."""
+    c = (
+        contrib_src.join(ranks, F.col("src") == F.col("id"))
+        .select("dst", (F.col("r") / F.col("outdeg")).alias("w"))
+        .groupBy("dst")
+        .agg(F.sum("w").alias("s"))
+    )
+    return base.join(c, base["id"] == c["dst"], "left").select(
+        "id",
+        (F.col("base") + F.lit(d) * F.coalesce("s", F.lit(0.0))).alias("r"),
+    )
+
+
+def _pagerank_project(ranks, nn):
     return ranks.crossJoin(nn).select(
         F.when(F.col("id") % 2 == 0, F.lit("customer"))
         .otherwise(F.lit("supplier"))
         .alias("node_type"),
         F.floor(F.col("id") / F.lit(2.0)).cast("long").alias("key"),
         F.round(F.col("r") * F.col("n"), 4).alias("rank_scaled"),
+    )
+
+
+def pagerank_txn_graph_eps(
+    spark, sf_dir, eps: float = 1e-6, max_iter: int = 40
+):
+    """Tolerance-stopped PageRank over the same transaction graph — the
+    convergence-action pattern of engine/cluster.py applied to ranks:
+    each round materializes (localCheckpoint truncates the lineage so
+    plan depth stays O(1)) and a 1-row L∞-delta aggregate decides
+    whether to continue; the driver never sees rank data, only the
+    scalar delta (same inherent-to-fixpoint collect as
+    connected_components). Returns (result DataFrame in the registered
+    query's schema, rounds actually run). The REGISTERED query keeps the
+    fixed-8 lazy unrolled loop — its DuckDB twin unrolls exactly 8 CTE
+    iterations, and an adaptive round count would break value parity.
+
+    Scale: per round one (dst, double) shuffle + one |V|-row
+    materialization + one max-aggregate — the early exit saves whole
+    rounds (each a full shuffle at 10^9 nodes), which dominates the
+    added delta-join cost whenever the graph converges before max_iter.
+    Raises like connected_components if eps is not reached."""
+    d = PAGERANK_DAMP
+    contrib_src, base, nn = _pagerank_graph(spark, sf_dir)
+    ranks = base.select("id", F.col("r0").alias("r")).localCheckpoint()
+    for rounds in range(1, max_iter + 1):
+        new = _pagerank_step(contrib_src, base, ranks, d).localCheckpoint()
+        delta = (
+            new.join(
+                ranks.select(F.col("id"), F.col("r").alias("r_prev")), "id"
+            )
+            .agg(F.max(F.abs(F.col("r") - F.col("r_prev"))).alias("delta"))
+            .collect()[0]["delta"]
+        )
+        ranks = new
+        if delta is None or delta < eps:  # None: empty graph ≡ converged
+            return _pagerank_project(ranks, nn), rounds
+    raise RuntimeError(
+        f"pagerank did not converge to {eps} within {max_iter} rounds"
     )
 
 

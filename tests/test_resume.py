@@ -647,3 +647,58 @@ def test_increment_content_dedup(spark, pages, tmp_path):
     assert cls["http://inc.example/near"][0] == "near_dup"
     assert cls["http://inc.example/near"][1] == src_near["url"]
     assert cls[fresh["url"]] == ("kept", None)
+
+
+def test_compact_kill_window_leaves_readable_table(spark, pages, tmp_path):
+    """Pointer-flip compaction (round-3 verdict item 9): a kill at ANY
+    instant of compact_run leaves a readable active table, because the
+    only publish step is one atomic manifest-pointer commit. Simulate the
+    two crash states directly: (a) rewrite written but pointer NOT yet
+    flipped — the active table is still the old generation and vacuum
+    expires the orphan rewrite; (b) pointer flipped but the superseded
+    generation not yet deleted — the active table is the new generation
+    and vacuum expires the stale one."""
+    import os
+    import shutil
+
+    from engine.jobs.extract_job import compact_run, vacuum_run
+
+    root = str(tmp_path / "runs")
+    man = enqueue(spark, pages, root, min_partitions=8, run_id="kcompact")
+    run_extract_job(spark, pages, man, wave_size=8)
+
+    def fp():
+        return {
+            (r["url"], r["n_chars"])
+            for r in read_extracted(spark, man).collect()
+        }
+
+    frozen = fp()
+
+    # (a) crash BEFORE the pointer flip: orphan rewrite on disk
+    orphan = os.path.join(str(man.dir), "extracted.gen-0007")
+    shutil.copytree(man.extracted_path, orphan)
+    assert fp() == frozen  # active table untouched
+    res = vacuum_run(spark, man)
+    assert "extracted.gen-0007" in res["removed"]
+    assert not os.path.exists(orphan)
+
+    # real compact publishes gen-0001 and expires extracted/
+    res = compact_run(spark, man, target_file_bytes=1 << 30)
+    assert res["files_after"] <= 8
+    assert os.path.basename(man.extracted_path) == "extracted.gen-0001"
+    assert not os.path.exists(os.path.join(str(man.dir), "extracted"))
+    assert fp() == frozen
+
+    # (b) crash AFTER the flip: superseded generation still on disk
+    stale = os.path.join(str(man.dir), "extracted.gen-0000")
+    shutil.copytree(man.extracted_path, stale)
+    assert fp() == frozen
+    res = vacuum_run(spark, man)
+    assert "extracted.gen-0000" in res["removed"]
+
+    # compacting a compacted run stacks generations monotonically
+    compact_run(spark, man, target_file_bytes=1 << 30)
+    assert os.path.basename(man.extracted_path) == "extracted.gen-0002"
+    assert not os.path.exists(os.path.join(str(man.dir), "extracted.gen-0001"))
+    assert fp() == frozen
