@@ -60,6 +60,12 @@ def main(argv: list[str] | None = None) -> int:
 
     ep = sub.add_parser("enqueue")
     ep.add_argument("--pages", required=True)
+    ep.add_argument(
+        "--pages-format", default="parquet",
+        choices=["parquet", "orc", "json", "csv", "warc", "wet"],
+        help="ingest format for --pages (warc/wet = Common-Crawl "
+        "segment files, engine/warc.py)",
+    )
     ep.add_argument("--runs-root", required=True)
     ep.add_argument("--run-id")
     ep.add_argument("--target-partition-mb", type=int, default=64)
@@ -71,6 +77,12 @@ def main(argv: list[str] | None = None) -> int:
 
     rp = sub.add_parser("run")
     rp.add_argument("--pages", required=True)
+    rp.add_argument(
+        "--pages-format", default="parquet",
+        choices=["parquet", "orc", "json", "csv", "warc", "wet"],
+        help="ingest format for --pages (warc/wet = Common-Crawl "
+        "segment files, engine/warc.py)",
+    )
     rp.add_argument("--runs-root", required=True)
     rp.add_argument("--run-id", required=True)
     rp.add_argument("--wave-size", type=int, default=8)
@@ -78,6 +90,12 @@ def main(argv: list[str] | None = None) -> int:
 
     tp = sub.add_parser("retry")
     tp.add_argument("--pages", required=True)
+    tp.add_argument(
+        "--pages-format", default="parquet",
+        choices=["parquet", "orc", "json", "csv", "warc", "wet"],
+        help="ingest format for --pages (warc/wet = Common-Crawl "
+        "segment files, engine/warc.py)",
+    )
     tp.add_argument("--runs-root", required=True)
     tp.add_argument("--run-id", required=True)
 
@@ -104,6 +122,12 @@ def main(argv: list[str] | None = None) -> int:
         "one logical table (enqueue_increment + run in one verb).",
     )
     ip.add_argument("--pages", required=True, help="the new crawl")
+    ip.add_argument(
+        "--pages-format", default="parquet",
+        choices=["parquet", "orc", "json", "csv", "warc", "wet"],
+        help="ingest format for --pages (warc/wet = Common-Crawl "
+        "segment files, engine/warc.py)",
+    )
     ip.add_argument("--runs-root", required=True)
     ip.add_argument(
         "--base-run-ids", required=True,
@@ -170,6 +194,7 @@ def main(argv: list[str] | None = None) -> int:
         run_extract_job,
     )
     from engine.manifest import RunManifest
+    from engine.sources import read_pages
 
     if a.verb == "synth":
         from engine.synth import generate_pages
@@ -191,7 +216,7 @@ def main(argv: list[str] | None = None) -> int:
             )
         )
     elif a.verb == "enqueue":
-        pages = spark.read.parquet(a.pages)
+        pages = read_pages(spark, a.pages, a.pages_format)
         m = enqueue(
             spark,
             pages,
@@ -211,7 +236,7 @@ def main(argv: list[str] | None = None) -> int:
             )
         )
     elif a.verb == "run":
-        pages = spark.read.parquet(a.pages)
+        pages = read_pages(spark, a.pages, a.pages_format)
         m = RunManifest.load(a.runs_root, a.run_id)
         res = run_extract_job(
             spark, pages, m, wave_size=a.wave_size, max_waves=a.max_waves
@@ -220,7 +245,7 @@ def main(argv: list[str] | None = None) -> int:
     elif a.verb == "increment":
         from engine.jobs.extract_job import enqueue_increment
 
-        pages = spark.read.parquet(a.pages)
+        pages = read_pages(spark, a.pages, a.pages_format)
         m, new_pages = enqueue_increment(
             spark,
             pages,
@@ -238,7 +263,7 @@ def main(argv: list[str] | None = None) -> int:
             )
             print(json.dumps(res))
     elif a.verb == "retry":
-        pages = spark.read.parquet(a.pages)
+        pages = read_pages(spark, a.pages, a.pages_format)
         m = RunManifest.load(a.runs_root, a.run_id)
         print(json.dumps(retry_failed(spark, pages, m)))
     elif a.verb == "dedup-increment":

@@ -11,6 +11,8 @@ Formats:
              on ORC ingest it natively)
   json     — html carried base64 (JSON has no binary type); decoded on read
   csv      — ditto; for small interchange/debug extracts only
+  warc/wet — the Common-Crawl wire formats (engine/warc.py): file-per-task
+             binaryFile scan + one mapInPandas parse, zero shuffles
 
 Sinks mirror the formats; `write_pages` always writes parquet (columnar,
 predicate-pushdown-able) — JSON/CSV exports exist for interop, marked as
@@ -75,6 +77,89 @@ def read_pages_csv(spark: SparkSession, path: str) -> DataFrame:
         "text",
         "lang",
     )
+
+
+def read_pages_warc(spark: SparkSession, path: str) -> DataFrame:
+    """WARC/WET ingest (engine/warc.py): one binaryFile row per segment
+    file (the CC-scale parallelism unit — .warc.gz members aren't
+    splittable), one Arrow-batched mapInPandas parse, no shuffle
+    (plan-pinned in tests/test_warc.py). Handles .warc (response records
+    → html), .wet (conversion records → text), gzip or plain, mixed."""
+
+    files = spark.read.format("binaryFile").load(path).select("content")
+
+    def parse(batches):
+        import pandas as pd
+
+        from engine.warc import pages_from_archive
+
+        for pdf in batches:
+            for buf in pdf["content"]:
+                rows = list(pages_from_archive(bytes(buf)))
+                if rows:
+                    # one frame per archive file bounds memory at one
+                    # inflated segment per task
+                    yield pd.DataFrame(rows, columns=_COLS)
+
+    return files.mapInPandas(parse, PAGES_SCHEMA)
+
+
+def export_pages_warc(
+    df: DataFrame, path: str, wet: bool = False, compress: bool = True
+) -> list[dict]:
+    """WARC (or WET) export: each input partition becomes one segment
+    file written task-side (segment size = upstream partitioning — callers
+    repartition to the target segment size), with a per-partition manifest
+    row (file, n_records) returned to the driver — the same
+    small-manifest collect convention as lineage. Deterministic bytes for
+    deterministic input partitions (gzip mtime=0, md5 record ids)."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+
+    def write(batches):
+        import pandas as pd
+
+        from pyspark import TaskContext
+
+        from engine.warc import encode_pages
+
+        rows: list[dict] = []
+        for pdf in batches:
+            rows.extend(pdf.to_dict("records"))
+        if not rows:
+            return
+        pid = TaskContext.get().partitionId()
+        ext = ("wet" if wet else "warc") + (".gz" if compress else "")
+        fname = os.path.join(path, f"part-{pid:05d}.{ext}")
+        with open(fname, "wb") as f:
+            f.write(encode_pages(rows, wet=wet, compress=compress))
+        yield pd.DataFrame([{"file": fname, "n_records": len(rows)}])
+
+    manifest = df.select(*_COLS).mapInPandas(
+        write, "file string, n_records long"
+    )
+    return [r.asDict() for r in manifest.collect()]
+
+
+_READERS = {
+    "parquet": read_pages_parquet,
+    "orc": read_pages_orc,
+    "json": read_pages_json,
+    "csv": read_pages_csv,
+    "warc": read_pages_warc,
+    "wet": read_pages_warc,
+}
+
+
+def read_pages(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """Format-dispatched pages ingest (the CLI's --pages-format hook)."""
+    try:
+        return _READERS[fmt](spark, path)
+    except KeyError:
+        raise ValueError(
+            f"unknown pages format {fmt!r}; one of {sorted(_READERS)}"
+        ) from None
 
 
 def write_pages(df: DataFrame, path: str, mode: str = "overwrite") -> None:

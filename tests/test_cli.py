@@ -64,6 +64,19 @@ def test_cli_full_lifecycle(spark, tmp_path, capsys, monkeypatch):
              "--target-file-mb", "1")
     assert r["files_after"] <= r["files_before"]
 
+    # WARC ingest path: the same corpus arriving as Common-Crawl segment
+    # files runs the identical lifecycle via --pages-format warc
+    from engine.sources import export_pages_warc, read_pages_parquet
+
+    wdir = str(tmp_path / "c1_warc")
+    export_pages_warc(read_pages_parquet(spark, c1), wdir)
+    r = _run(capsys, "enqueue", "--pages", wdir, "--pages-format", "warc",
+             "--runs-root", root, "--run-id", "w1")
+    assert r["run_id"] == "w1"
+    r = _run(capsys, "run", "--pages", wdir, "--pages-format", "warc",
+             "--runs-root", root, "--run-id", "w1")
+    assert r["complete"] and r["docs_processed"] > 0
+
 
 def test_cli_degenerate_list_args_fail_fast(tmp_path):
     """ADVICE round-3: comma/whitespace-only list args must die with a

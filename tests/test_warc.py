@@ -1,0 +1,160 @@
+"""WARC/WET ingest (engine/warc.py + sources.read_pages_warc): the
+Common-Crawl wire formats round-trip into the pages table byte-exactly,
+malformed records degrade by exclusion, and the read plan is the
+scale-correct one — a file-per-task binaryFile scan feeding ONE
+mapInPandas parse with zero shuffles."""
+
+from __future__ import annotations
+
+import datetime as dt
+import gzip
+
+import pytest
+from pyspark.sql import functions as F
+
+from engine.extract.udf import run_extract
+from engine.sources import export_pages_warc, read_pages, read_pages_warc
+from engine.synth import generate_pages
+from engine.warc import (
+    build_conversion_record,
+    build_record,
+    build_response_record,
+    encode_pages,
+    gzip_member,
+    pages_from_archive,
+)
+
+TS = dt.datetime(2026, 3, 1, 12, 0, 0)
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return generate_pages(spark, 120, partitions=3).cache()
+
+
+def _fingerprint(df):
+    return {
+        (r["url"], r["sha"], r["n"])
+        for r in df.select(
+            "url",
+            F.sha2(F.coalesce(F.col("html"), F.lit(b"")), 256).alias("sha"),
+            F.coalesce(F.length("html"), F.lit(0)).alias("n"),
+        ).collect()
+    }
+
+
+# ------------------------------------------------------------------- codec
+def test_codec_roundtrip_single_record():
+    html = b"<html><body>caf\xc3\xa9 \x00 raw bytes \r\n\r\n inside</body>"
+    rec = build_response_record("http://a.example/x", TS, html)
+    rows = list(pages_from_archive(rec))
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["url"] == "http://a.example/x"
+    assert r["warc_ts"] == TS
+    # the payload legally contains the record delimiter — Content-Length
+    # framing must carry it through intact
+    assert r["html"] == html
+    assert r["text"] is None and r["lang"] is None
+
+
+def test_codec_gzip_multimember_and_wet():
+    recs = [
+        build_response_record(f"http://b.example/{i}", TS, b"<p>%d</p>" % i)
+        for i in range(5)
+    ]
+    buf = b"".join(gzip_member(r) for r in recs)
+    assert buf[:2] == b"\x1f\x8b"
+    assert [r["url"] for r in pages_from_archive(buf)] == [
+        f"http://b.example/{i}" for i in range(5)
+    ]
+    wet = build_conversion_record("http://b.example/t", TS, "café text")
+    (row,) = pages_from_archive(wet)
+    assert row["text"] == "café text" and row["html"] is None
+
+
+def test_codec_skips_malformed_and_truncated():
+    good1 = build_response_record("http://c.example/1", TS, b"<p>1</p>")
+    good2 = build_response_record("http://c.example/2", TS, b"<p>2</p>")
+    no_len = build_record(
+        "response",
+        {"WARC-Target-URI": "http://c.example/bad", "WARC-Date": "nope"},
+        b"",
+    ).replace(b"Content-Length: 0\r\n", b"")
+    warcinfo = build_record("warcinfo", {}, b"software: synth\r\n")
+    truncated = build_response_record(
+        "http://c.example/3", TS, b"<p>3</p>" * 100
+    )[:-40]
+    buf = (
+        b"garbage prefix bytes\r\n"
+        + good1
+        + no_len
+        + warcinfo
+        + good2
+        + truncated
+    )
+    assert [r["url"] for r in pages_from_archive(buf)] == [
+        "http://c.example/1",
+        "http://c.example/2",
+    ]
+
+
+def test_codec_deterministic_bytes():
+    rows = [
+        {"url": "http://d.example/1", "warc_ts": TS, "html": b"<p>x</p>"},
+        {"url": "http://d.example/2", "warc_ts": TS, "html": None},
+    ]
+    assert encode_pages(rows) == encode_pages(rows)
+    # null html writes an empty body, not a dropped record
+    back = list(pages_from_archive(encode_pages(rows)))
+    assert [r["html"] for r in back] == [b"<p>x</p>", b""]
+
+
+# ------------------------------------------------------------------- spark
+def test_warc_roundtrip_binary_exact(spark, pages, tmp_path):
+    p = str(tmp_path / "warc")
+    manifest = export_pages_warc(pages, p)
+    assert sum(m["n_records"] for m in manifest) == pages.count()
+    assert all(m["file"].endswith(".warc.gz") for m in manifest)
+    back = read_pages_warc(spark, p)
+    assert _fingerprint(back) == _fingerprint(pages)
+    # and the re-ingested table extracts identically
+    a = run_extract(pages).select("url", "n_chars", "status")
+    b = run_extract(back).select("url", "n_chars", "status")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_warc_roundtrip_uncompressed(spark, pages, tmp_path):
+    p = str(tmp_path / "warc_plain")
+    manifest = export_pages_warc(pages, p, compress=False)
+    assert all(m["file"].endswith(".warc") for m in manifest)
+    assert _fingerprint(read_pages(spark, p, "warc")) == _fingerprint(pages)
+
+
+def test_wet_roundtrip_text(spark, pages, tmp_path):
+    src = pages.select(
+        "url", "warc_ts", F.lit(None).cast("binary").alias("html"),
+        F.concat(F.lit("text of "), "url").alias("text"), "lang",
+    )
+    p = str(tmp_path / "wet")
+    export_pages_warc(src, p, wet=True)
+    back = read_pages(spark, p, "wet")
+    got = {(r["url"], r["text"]) for r in back.collect()}
+    want = {(r["url"], r["text"]) for r in src.collect()}
+    assert got == want
+    assert back.where(F.col("html").isNotNull()).count() == 0
+
+
+def test_warc_read_plan_scan_parse_no_shuffle(spark, pages, tmp_path):
+    """The 100 TB shape: binaryFile scan → one MapInPandas, no Exchange —
+    parallelism comes from the file count, not a shuffle."""
+    p = str(tmp_path / "warc_plan")
+    export_pages_warc(pages, p)
+    plan = read_pages_warc(spark, p)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
+
+
+def test_read_pages_rejects_unknown_format(spark):
+    with pytest.raises(ValueError, match="unknown pages format"):
+        read_pages(spark, "/nowhere", "avro")
