@@ -1615,6 +1615,182 @@ def _sql_token_count():
     """
 
 
+# PII patterns: char-class-only regex, so Java (Spark) and RE2 (DuckDB)
+# agree token-for-token. No backrefs/lookaround — RE2 has neither.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+_PII_PHONE = r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b"
+
+
+def q_pii_redact_stats(spark, sf_dir):
+    """PII scrubbing — the pre-training redaction pass (emails, phone
+    numbers, IPv4) a web corpus needs before release. The synthetic
+    corpus is PII-free word salad, so the query grafts a deterministic
+    PII layer first (email/phone/ip derived from doc_id+source, ~2/3 of
+    docs) and the scrub chain is the operator under test; parity is
+    byte-exact — sha256 of the redacted text must match DuckDB's.
+
+    Scale: map-only (regexp_count + chained regexp_replace are
+    whole-stage-codegen JVM expressions) — zero shuffles, the plan a
+    redaction pass over 100 TB must have; the regexes are linear-scan
+    char-class machines, no catastrophic backtracking class."""
+    d = _t(spark, sf_dir, "documents")
+    inject = F.concat(
+        F.coalesce("text", F.lit("")),
+        F.lit(" contact "),
+        # null source ≡ '' (declared degradation: a null anywhere in the
+        # concat would null the whole doc and diverge on size(NULL))
+        F.coalesce("source", F.lit("")),
+        F.lit(".user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.org tel 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        (F.floor(F.col("doc_id") / 7) % 256).cast("string"),
+        F.lit("."),
+        (F.floor(F.col("doc_id") / 11) % 256).cast("string"),
+    )
+    base = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 != 0, inject)
+        .otherwise(F.coalesce("text", F.lit("")))
+        .alias("t"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _PII_IP, "<IP>"),
+            _PII_EMAIL,
+            "<EMAIL>",
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return base.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(_PII_EMAIL), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all("t", F.lit(_PII_PHONE), F.lit(0))).alias(
+            "n_phones"
+        ),
+        F.size(F.regexp_extract_all("t", F.lit(_PII_IP), F.lit(0))).alias(
+            "n_ips"
+        ),
+        F.sha2(redacted, 256).alias("red_sha"),
+        F.length(redacted).alias("red_len"),
+    )
+
+
+def _sql_pii_redact_stats():
+    email, ip, phone = _PII_EMAIL, _PII_IP, _PII_PHONE
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 <> 0 THEN
+               coalesce(text, '') || ' contact ' || coalesce(source, '')
+               || '.user'
+               || CAST(doc_id AS VARCHAR) || '@mail.example.org tel 555-'
+               || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+               || CAST(CAST(floor(doc_id / 7) AS BIGINT) % 256 AS VARCHAR)
+               || '.'
+               || CAST(CAST(floor(doc_id / 11) AS BIGINT) % 256 AS VARCHAR)
+             ELSE coalesce(text, '') END AS t
+      FROM documents),
+    red AS (
+      SELECT doc_id, t,
+             regexp_replace(regexp_replace(regexp_replace(
+               t, '{ip}', '<IP>', 'g'),
+               '{email}', '<EMAIL>', 'g'),
+               '{phone}', '<PHONE>', 'g') AS r
+      FROM base)
+    SELECT doc_id,
+           len(regexp_extract_all(t, '{email}')) AS n_emails,
+           len(regexp_extract_all(t, '{phone}')) AS n_phones,
+           len(regexp_extract_all(t, '{ip}')) AS n_ips,
+           sha256(r) AS red_sha,
+           length(r) AS red_len
+    FROM red
+    """
+
+
+def q_tfidf_topk_terms(spark, sf_dir):
+    """TF-IDF keyword extraction — per-document top-3 terms. Ranking is
+    by INTEGER keys only (tf desc, df asc, term asc), so rank order can
+    never hinge on a last-ulp ln() divergence between engines; the tfidf
+    weight tf·ln(N/df) is a reported value column, rounded to 4 decimals
+    (single ln, no fold — the float-determinism conventions above).
+
+    Scale: explode → (doc_id, term) hash agg with map-side combine; the
+    document-frequency table aggregates that output (one vocab-keyed
+    shuffle); tf⋈df joins on term with the strategy left to Catalyst's
+    size estimate — broadcast while the vocab fits (as at test scale),
+    sort-merge once a 100 TB corpus's noise-term vocabulary doesn't; |D|
+    enters as a crossJoined 1-row aggregate, not a driver scalar. The
+    per-doc top-3 runs as WindowGroupLimit, pruning to ≤3 rows per doc
+    BEFORE the final doc_id exchange."""
+    d = _t_spread(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.coalesce("text", F.lit("")), " "),
+                lambda x: x != "",
+            )
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    nn = _t(spark, sf_dir, "documents").agg(F.count("*").alias("n_docs"))
+    w = W.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(nn)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            "rnk",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+
+
+def _sql_tfidf_topk_terms():
+    return """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(coalesce(text, ''), ' '),
+                                x -> x <> '')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    nn AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, term, tf, df, rnk,
+           round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+    FROM (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df, nn.n_docs,
+             row_number() OVER (PARTITION BY tf.doc_id
+               ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC) AS rnk
+      FROM tf JOIN dfreq USING (term) CROSS JOIN nn)
+    WHERE rnk <= 3
+    """
+
+
 def q_token_correction_stats(spark, sf_dir):
     """PageCorrector (R6) stats analog, oracle-checked: per document, the
     dictionary-corrected token stream's correction count (pp_ecorr), health
@@ -3324,7 +3500,6 @@ _reg("stats_agg", q_stats_agg, _sql_stats_agg())
 _reg("stats_agg_approx", q_stats_agg_approx, None)
 _reg("topk_hot_keys", q_topk_hot_keys, _sql_topk_hot_keys())
 _reg("set_ops", q_set_ops, _sql_set_ops())
-_reg("string_funcs", q_string_funcs, _sql_string_funcs())
 _reg("date_funcs", q_date_funcs, _sql_date_funcs())
 _reg("json_funcs", q_json_funcs, _sql_json_funcs())
 _reg("array_funcs", q_array_funcs, _sql_array_funcs())
@@ -3340,7 +3515,6 @@ _reg("pivot_events", q_pivot_events, _sql_pivot_events())
 _reg("correlated_above_avg", q_correlated_above_avg, _sql_correlated_above_avg())
 _reg("approx_distinct", q_approx_distinct, None)
 _reg("time_window_agg", q_time_window_agg, _sql_time_window_agg())
-_reg("math_funcs", q_math_funcs, _sql_math_funcs())
 _reg("map_funcs", q_map_funcs, _sql_map_funcs())
 _reg("json_roundtrip", q_json_roundtrip, _sql_json_roundtrip())
 _reg("dedup_exact", q_dedup_exact, _sql_dedup_exact())
@@ -3367,6 +3541,8 @@ _reg(
 _reg("lang_id_heuristic", q_lang_id_heuristic, _sql_lang_id_heuristic())
 _reg("quality_score", q_quality_score, _sql_quality_score())
 _reg("token_count", q_token_count, _sql_token_count())
+_reg("pii_redact_stats", q_pii_redact_stats, _sql_pii_redact_stats())
+_reg("tfidf_topk_terms", q_tfidf_topk_terms, _sql_tfidf_topk_terms())
 _reg(
     "token_correction_stats",
     q_token_correction_stats,
@@ -3405,6 +3581,14 @@ _reg(
     _sql_multimodal_audio_meta(),
 )
 _reg("multimodal_audio_loudest", q_multimodal_audio_loudest, None)
+
+# Registered LAST among the value-exact set ON PURPOSE: with 52
+# oracle-backed queries the driver's 50-entry window overflows by two,
+# and these two function batteries are the right sacrifice — both have
+# committed driver-green rows in CORRECTNESS_r02/r03 and no code churn
+# since, while newer operators have no driver row yet.
+_reg("string_funcs", q_string_funcs, _sql_string_funcs())
+_reg("math_funcs", q_math_funcs, _sql_math_funcs())
 
 # Rows-only queries in descending driver-visibility priority (they fill
 # whatever slots remain under the driver's 50-entry window after the

@@ -31,6 +31,9 @@ ADVERSARIAL_DOCS = [
     (7, "émoji 🎉 and 🎉 again", "en", "src2", 20),
     (8, "the of the and to in is for on with", "en", "src0", 35),
     (9, "the of the and to in is for on with", "en", "src1", 35),
+    # real PII + emoji width + null source: the scrub chain must agree
+    # byte-for-byte and the injected layer must survive a null source
+    (10, "mail a@b.co ip 10.0.0.1 tel 555-123-4567 🎉", "en", None, 43),
 ]
 
 _TS = datetime.datetime(2024, 1, 1)
@@ -85,6 +88,8 @@ DOC_QUERIES = [
     "mixture_sample",
     "sequence_pack",
     "column_profile",
+    "pii_redact_stats",
+    "tfidf_topk_terms",
 ]
 EVENT_QUERIES = [
     "json_funcs",

@@ -213,3 +213,30 @@ def test_sequence_pack_single_shuffle_jvm(spark):
     assert "Exchange rangepartitioning" not in plan  # no global order
     for py in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
         assert py not in plan
+
+
+def test_pii_redact_map_only_jvm(spark):
+    """The redaction pass must be a pure map stage: regexp_count/replace
+    as whole-stage-codegen expressions, zero shuffles, zero Python — the
+    only plan shape that scrubs 100 TB at scan speed."""
+    from engine.queries import q_pii_redact_stats
+
+    plan = _plan(q_pii_redact_stats(spark, SF))
+    assert "Exchange" not in plan
+    assert "sha2" in plan
+    for py in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
+        assert py not in plan
+
+
+def test_tfidf_plan_shape(spark):
+    """tf⋈df join strategy stays size-driven (broadcast at test scale,
+    sort-merge at web scale — NOT pinned); what IS pinned: |D| is the
+    only nested-loop join (1-row aggregate), the per-doc top-3 prunes via
+    WindowGroupLimit BEFORE the final exchange, and no Python anywhere."""
+    from engine.queries import q_tfidf_topk_terms
+
+    plan = _plan(q_tfidf_topk_terms(spark, SF))
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # the 1-row |D|
+    assert "WindowGroupLimit" in plan  # top-k pushed below the shuffle
+    for py in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
+        assert py not in plan

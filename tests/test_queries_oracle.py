@@ -55,10 +55,15 @@ def test_registry_driver_window_covers_value_exact():
         "rows-only query registered before an oracle-backed one"
     )
     assert len(backed) == first_rows_only
-    # every value-exact query the 50-entry window can hold is inside it
+    # every value-exact query the 50-entry window can hold is inside it;
+    # once the value-exact set itself overflows 50, the overflow must be
+    # exactly the designated sacrifices (function batteries with committed
+    # driver-green rows in CORRECTNESS_r02/r03 — see the registry comment)
+    overflow = backed - set(names[:50])
     if len(backed) <= 50:
-        missing = backed - set(names[:50])
-        assert not missing, missing
+        assert not overflow, overflow
+    else:
+        assert overflow <= {"string_funcs", "math_funcs"}, overflow
 
 
 def test_all_query_schemas_scalar(spark):
