@@ -109,6 +109,8 @@ HEADLINE = [
     "multimodal_image_meta",
     "multimodal_audio_meta",
     "multimodal_audio_loudest",
+    "pii_redact_stats",
+    "tfidf_topk_terms",
     "repetition_metrics",
     "ngram_decontaminate",
     "passage_dedup",

@@ -158,3 +158,55 @@ def test_warc_read_plan_scan_parse_no_shuffle(spark, pages, tmp_path):
 def test_read_pages_rejects_unknown_format(spark):
     with pytest.raises(ValueError, match="unknown pages format"):
         read_pages(spark, "/nowhere", "avro")
+
+
+# -------------------------------------------------------------- property
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_url_st = st.text(
+    st.characters(min_codepoint=33, max_codepoint=126), min_size=1, max_size=40
+).map(lambda s: "http://h.example/" + s)
+_page_st = st.fixed_dictionaries(
+    {
+        "url": _url_st,
+        "warc_ts": st.datetimes(
+            min_value=dt.datetime(1990, 1, 1),
+            max_value=dt.datetime(2100, 1, 1),
+        ).map(lambda t: t.replace(microsecond=0)),
+        "html": st.one_of(st.none(), st.binary(max_size=400)),
+    }
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_page_st, max_size=8), st.booleans())
+def test_codec_property_roundtrip(rows, compress):
+    """Any payload bytes (including record delimiters, gzip magic, header
+    look-alikes) and any second-precision timestamp survive encode→decode;
+    record count and order are preserved; null html reads back as b''."""
+    buf = encode_pages(rows, compress=compress)
+    back = list(pages_from_archive(buf))
+    assert [(r["url"], r["warc_ts"]) for r in back] == [
+        (r["url"], r["warc_ts"]) for r in rows
+    ]
+    assert [r["html"] for r in back] == [r["html"] or b"" for r in rows]
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(max_size=300), st.integers(0, 3))
+def test_codec_property_garbage_between_records(garbage, n_good):
+    """Arbitrary inter-record garbage never aborts the stream NOR corrupts
+    a well-formed record that follows (re-sync finds the next version
+    line). Records whose payload the garbage could imitate are immune:
+    framing is Content-Length, not delimiter-scan."""
+    recs = [
+        build_response_record(f"http://g.example/{i}", TS, b"<p>%d</p>" % i)
+        for i in range(n_good)
+    ]
+    buf = garbage + b"\r\n" + b"".join(recs)
+    got = [r["url"] for r in pages_from_archive(buf)]
+    # garbage may legally CONTAIN a parseable record prefix only if it
+    # embeds a full valid record — with random bytes that never happens;
+    # all n_good real records must survive
+    assert got[-n_good:] == [f"http://g.example/{i}" for i in range(n_good)] if n_good else got == []
