@@ -109,6 +109,8 @@ HEADLINE = [
     "multimodal_image_meta",
     "multimodal_audio_meta",
     "multimodal_audio_loudest",
+    "mixture_sample_temp",
+    "dataset_shard_order",
     "pii_redact_stats",
     "tfidf_topk_terms",
     "repetition_metrics",

@@ -2640,6 +2640,113 @@ def _sql_mixture_sample():
     """
 
 
+def q_mixture_sample_temp(spark, sf_dir):
+    """Temperature-rebalanced mixture sampling (the unigram-LM / Pile-style
+    α-tempering of source shares, α=0.5): each source keeps
+    ~n_docs^α · c_min^(1-α) docs, i.e. heads are downsampled toward the
+    tempered curve anchored at the smallest stratum (α=1 no change, α=0
+    uniform). Per-doc keep decision = content-hash bucket <
+    floor(100·sqrt(c_min/n_docs)) — sqrt and division are CORRECTLY
+    ROUNDED under IEEE-754, so the threshold is bit-identical across
+    engines with no float-fold anywhere (the cross-source normalization
+    Σc^α was rejected exactly because its fold order is engine-defined).
+    Null source is excluded by the equi-join on source (both engines drop
+    null keys — declared degradation).
+
+    Scale: two tiny aggs (per-source counts, 1-row min), the threshold
+    table broadcast back onto the scan (a genuinely broadcastable dim —
+    #sources, unlike a vocab), bucket compare map-side; re-weighting a
+    100 TB mixture moves no data — the bucket is a pure content hash."""
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    cmin = counts.agg(F.min("n_docs").alias("c_min"))
+    thr = counts.crossJoin(cmin).select(
+        "source",
+        "n_docs",
+        F.floor(
+            F.lit(100.0)
+            * F.sqrt(
+                F.col("c_min").cast("double") / F.col("n_docs").cast("double")
+            )
+        ).alias("threshold"),
+    )
+    h = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    bucket = (
+        F.ascii(F.substring(h, 1, 1)) * 31 + F.ascii(F.substring(h, 2, 1))
+    ) % 100
+    return (
+        d.join(F.broadcast(thr), "source")
+        .groupBy("source", "n_docs", "threshold")
+        .agg(F.sum(F.when(bucket < F.col("threshold"), 1).otherwise(0)).alias("n_sampled"))
+    )
+
+
+def _sql_mixture_sample_temp():
+    return r"""
+    WITH counts AS (
+      SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+    cmin AS (SELECT min(n_docs) AS c_min FROM counts),
+    thr AS (
+      SELECT source, n_docs,
+             CAST(floor(100.0 * sqrt(CAST(c_min AS DOUBLE) / n_docs))
+                  AS BIGINT) AS threshold
+      FROM counts CROSS JOIN cmin)
+    SELECT thr.source, thr.n_docs, thr.threshold,
+           sum(CASE WHEN (ascii(substr(md5(coalesce(d.text, '')), 1, 1)) * 31
+                          + ascii(substr(md5(coalesce(d.text, '')), 2, 1)))
+                         % 100 < thr.threshold
+                    THEN 1 ELSE 0 END) AS n_sampled
+    FROM documents d JOIN thr ON d.source = thr.source
+    GROUP BY 1, 2, 3
+    """
+
+
+def q_dataset_shard_order(spark, sf_dir):
+    """Deterministic training order — the pipeline's last stage: every doc
+    gets a content-independent pseudo-random position as (shard,
+    pos_in_shard), the sharded form every real loader consumes. A single
+    global row_number would serialize onto one partition; sharding by a
+    hash prefix keeps the window per-shard (one bounded shuffle) while the
+    full order is still total and rerun-stable: order = (shard, pos).
+
+    Scale: shard count is a constant (16 here; thousands at 100 TB), so
+    partitions stay balanced by md5 uniformity; the per-shard window sort
+    is the only shuffle. Seed change ≡ full reshuffle with zero extra
+    structure."""
+    # null doc_id is excluded (no stable position exists for a keyless
+    # doc, and NULL ordering defaults differ across engines)
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
+    key = F.md5(F.concat(F.lit("seed42:"), F.col("doc_id").cast("string")))
+    shard = (
+        F.ascii(F.substring(key, 1, 1)) * 31 + F.ascii(F.substring(key, 2, 1))
+    ) % 16
+    w = W.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return (
+        d.select(
+            "doc_id", shard.alias("shard"), key.alias("shuffle_key")
+        )
+        .withColumn("pos_in_shard", F.row_number().over(w))
+        .select("doc_id", "shard", "pos_in_shard")
+    )
+
+
+def _sql_dataset_shard_order():
+    return r"""
+    WITH keyed AS (
+      SELECT doc_id,
+             (ascii(substr(md5('seed42:' || CAST(doc_id AS VARCHAR)), 1, 1))
+              * 31
+              + ascii(substr(md5('seed42:' || CAST(doc_id AS VARCHAR)), 2, 1))
+             ) % 16 AS shard,
+             md5('seed42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+      FROM documents WHERE doc_id IS NOT NULL)
+    SELECT doc_id, shard,
+           row_number() OVER (PARTITION BY shard
+                              ORDER BY shuffle_key, doc_id) AS pos_in_shard
+    FROM keyed
+    """
+
+
 def q_column_profile(spark, sf_dir):
     """ANALYZE-TABLE-style column profile of `documents`: per column, its
     null count and exact distinct count — the statistics a warehouse
@@ -3499,8 +3606,6 @@ _reg("window_analytics", q_window_analytics, _sql_window_analytics())
 _reg("stats_agg", q_stats_agg, _sql_stats_agg())
 _reg("stats_agg_approx", q_stats_agg_approx, None)
 _reg("topk_hot_keys", q_topk_hot_keys, _sql_topk_hot_keys())
-_reg("set_ops", q_set_ops, _sql_set_ops())
-_reg("date_funcs", q_date_funcs, _sql_date_funcs())
 _reg("json_funcs", q_json_funcs, _sql_json_funcs())
 _reg("array_funcs", q_array_funcs, _sql_array_funcs())
 _reg("asof_join", q_asof_join, _sql_asof_join())
@@ -3560,6 +3665,8 @@ _reg("ngram_decontaminate", q_ngram_decontaminate, _sql_ngram_decontaminate())
 _reg("passage_dedup", q_passage_dedup, _sql_passage_dedup())
 _reg("incremental_dedup", q_incremental_dedup, _sql_incremental_dedup())
 _reg("mixture_sample", q_mixture_sample, _sql_mixture_sample())
+_reg("mixture_sample_temp", q_mixture_sample_temp, _sql_mixture_sample_temp())
+_reg("dataset_shard_order", q_dataset_shard_order, _sql_dataset_shard_order())
 _reg("sequence_pack", q_sequence_pack, _sql_sequence_pack())
 _reg("pagerank_txn_graph", q_pagerank_txn_graph, _sql_pagerank_txn_graph())
 _reg("column_profile", q_column_profile, _sql_column_profile())
@@ -3582,11 +3689,13 @@ _reg(
 )
 _reg("multimodal_audio_loudest", q_multimodal_audio_loudest, None)
 
-# Registered LAST among the value-exact set ON PURPOSE: with 52
-# oracle-backed queries the driver's 50-entry window overflows by two,
-# and these two function batteries are the right sacrifice — both have
+# Registered LAST among the value-exact set ON PURPOSE: with 54
+# oracle-backed queries the driver's 50-entry window overflows by four,
+# and these four function batteries are the right sacrifice — all have
 # committed driver-green rows in CORRECTNESS_r02/r03 and no code churn
 # since, while newer operators have no driver row yet.
+_reg("set_ops", q_set_ops, _sql_set_ops())
+_reg("date_funcs", q_date_funcs, _sql_date_funcs())
 _reg("string_funcs", q_string_funcs, _sql_string_funcs())
 _reg("math_funcs", q_math_funcs, _sql_math_funcs())
 

@@ -90,6 +90,8 @@ DOC_QUERIES = [
     "column_profile",
     "pii_redact_stats",
     "tfidf_topk_terms",
+    "mixture_sample_temp",
+    "dataset_shard_order",
 ]
 EVENT_QUERIES = [
     "json_funcs",

@@ -240,3 +240,30 @@ def test_tfidf_plan_shape(spark):
     assert "WindowGroupLimit" in plan  # top-k pushed below the shuffle
     for py in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
         assert py not in plan
+
+
+def test_mixture_temp_broadcasts_threshold_dim(spark):
+    """The per-source threshold table is a genuinely broadcastable dim
+    (#sources rows): pinned as a BroadcastHashJoin; the bucket compare is
+    map-side (md5 visible pre-exchange)."""
+    from engine.queries import q_mixture_sample_temp
+
+    plan = _plan(q_mixture_sample_temp(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "md5" in plan
+    for py in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
+        assert py not in plan
+
+
+def test_dataset_shard_order_no_global_sort(spark):
+    """Sharded training order must NOT serialize into a single-partition
+    global window: exactly one hash shuffle on shard, no range
+    partitioning, no Python."""
+    from engine.queries import q_dataset_shard_order
+
+    plan = _plan(q_dataset_shard_order(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
+    for py in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
+        assert py not in plan

@@ -63,7 +63,9 @@ def test_registry_driver_window_covers_value_exact():
     if len(backed) <= 50:
         assert not overflow, overflow
     else:
-        assert overflow <= {"string_funcs", "math_funcs"}, overflow
+        assert overflow <= {
+            "string_funcs", "math_funcs", "date_funcs", "set_ops"
+        }, overflow
 
 
 def test_all_query_schemas_scalar(spark):
