@@ -168,7 +168,9 @@ def main(argv: list[str] | None = None) -> int:
     )
     xp.add_argument("--dest", required=True)
     xp.add_argument(
-        "--format", default="parquet", choices=["parquet", "orc", "json"]
+        "--format", default="parquet",
+        choices=["parquet", "orc", "json", "wet"],
+        help="wet = Common-Crawl WET conversion records of the extracted text",
     )
 
     a = p.parse_args(argv)

@@ -807,6 +807,39 @@ def export_run(
         writer.orc(dest)
     elif fmt == "json":
         cur.drop("spans").write.mode("overwrite").json(dest)
+    elif fmt == "wet":
+        # publish the EXTRACTED text as Common-Crawl WET conversion
+        # records — CC-shaped corpus in (read_pages_warc), CC-shaped
+        # derived text out. WARC-Date = the base run's created_at (the
+        # one capture timestamp a multi-run logical table shares).
+        import datetime as _dt
+
+        from pyspark.sql import functions as F
+
+        from engine.sources import export_pages_warc
+
+        ts = _dt.datetime.strptime(
+            manifests[0].state()["created_at"], "%Y-%m-%dT%H:%M:%S.%fZ"
+        ).replace(microsecond=0)
+        seg = export_pages_warc(
+            cur.select(
+                "url",
+                F.lit(ts).alias("warc_ts"),
+                F.lit(None).cast("binary").alias("html"),
+                "text",
+                F.lit(None).cast("string").alias("lang"),
+            ),
+            dest,
+            wet=True,
+        )
+        n = sum(m["n_records"] for m in seg)
+        return {
+            "run_id": run_label,
+            "dest": dest,
+            "format": fmt,
+            "rows": n,
+            "segments": len(seg),
+        }
     else:
         raise ValueError(f"unsupported export format: {fmt}")
     n = spark.read.format(fmt).load(dest).count()

@@ -210,3 +210,35 @@ def test_codec_property_garbage_between_records(garbage, n_good):
     # embeds a full valid record — with random bytes that never happens;
     # all n_good real records must survive
     assert got[-n_good:] == [f"http://g.example/{i}" for i in range(n_good)] if n_good else got == []
+
+
+def test_export_run_wet_full_cc_loop(spark, pages, tmp_path):
+    """The whole Common-Crawl lifecycle: WARC segments in → extract job →
+    WET conversion records out; re-ingesting the WET yields the run's
+    extracted text byte-exactly (url → text equality vs read_extracted)."""
+    from engine.jobs.extract_job import (
+        enqueue,
+        export_run,
+        read_extracted,
+        run_extract_job,
+    )
+
+    wdir = str(tmp_path / "in_warc")
+    export_pages_warc(pages, wdir)
+    ingested = read_pages_warc(spark, wdir)
+    root = str(tmp_path / "runs")
+    man = enqueue(spark, ingested, root, min_partitions=4, run_id="wetloop")
+    run_extract_job(spark, ingested, man, wave_size=4)
+
+    dest = str(tmp_path / "out_wet")
+    res = export_run(spark, man, dest, fmt="wet")
+    assert res["format"] == "wet" and res["segments"] >= 1
+
+    back = read_pages_warc(spark, dest)
+    got = {(r["url"], r["text"]) for r in back.collect()}
+    want = {
+        (r["url"], r["text"] if r["text"] is not None else "")
+        for r in read_extracted(spark, man).select("url", "text").collect()
+    }
+    assert res["rows"] == len(want)
+    assert got == want
