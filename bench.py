@@ -112,6 +112,7 @@ HEADLINE = [
     "mixture_sample_temp",
     "dataset_shard_order",
     "pii_redact_stats",
+    "text_normalize_stats",
     "tfidf_topk_terms",
     "repetition_metrics",
     "ngram_decontaminate",

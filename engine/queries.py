@@ -1591,15 +1591,22 @@ def _sql_quality_score():
 
 
 def q_token_count(spark, sf_dir):
-    """Token counting: whitespace tokens + BPE-ish regex word/number/other
-    pieces (char-class regex — identical semantics across engines)."""
+    r"""Token counting: whitespace tokens + BPE-ish regex word/number/other
+    pieces. The whitespace class is spelled EXPLICITLY (Java-\s-equivalent
+    [ \t\n\x0b\f\r]) because Java's \s includes \x0b and RE2's does not —
+    found by the round-4 fuzz row carrying a vertical tab; the explicit
+    class keeps Spark's behavior bit-identical to the original and makes
+    the DuckDB twin match it."""
     d = _t(spark, sf_dir, "documents")
+    ws = r"[ \t\n\x0b\f\r]"
     return d.select(
         "doc_id",
-        F.size(F.split(F.col("text"), r"\s+")).alias("ws_tokens"),
+        F.size(F.split(F.col("text"), ws + "+")).alias("ws_tokens"),
         F.size(
             F.regexp_extract_all(
-                F.col("text"), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0
+                F.col("text"),
+                F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\x0b\f\r]"),
+                0,
             )
         ).alias("bpe_tokens"),
     )
@@ -1608,8 +1615,9 @@ def q_token_count(spark, sf_dir):
 def _sql_token_count():
     return r"""
     SELECT doc_id,
-           len(string_split_regex(text, '\s+')) AS ws_tokens,
-           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+           len(string_split_regex(text, '[ \t\n\x0b\f\r]+')) AS ws_tokens,
+           len(regexp_extract_all(text,
+               '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\x0b\f\r]'))
              AS bpe_tokens
     FROM documents
     """
@@ -2640,6 +2648,68 @@ def _sql_mixture_sample():
     """
 
 
+# Explicit whitespace class (not \s): Java's \s and RE2's \s disagree on
+# \x0b, and neither covers NBSP — an explicit class is the only spelling
+# both engines read identically. Escaped \xNN form (both regex dialects
+# parse it; literal control bytes would break the SQL string literal).
+_WS_CLASS = r"[ \t\n\x0b\f\r\xa0]+"
+_CTRL_CLASS = r"[\x00-\x08\x0e-\x1f\x7f]"
+
+
+def q_text_normalize_stats(spark, sf_dir):
+    """Text canonicalization — the pass every dedup/hash op needs
+    upstream: Unicode NFC (two byte-distinct encodings of 'é' must hash
+    together), control-character scrub, whitespace collapse (incl. NBSP),
+    trim. Parity is byte-exact: sha256 of the normalized text vs DuckDB's
+    nfc_normalize + the same explicit-class regex chain.
+
+    NFC itself is the ONE deliberate Python seam in the query battery —
+    Spark SQL has no normalizer built-in — run as a vectorized
+    Arrow-batched pandas UDF (pandas Series.str.normalize, C-loop per
+    batch); the scrub/collapse/trim chain stays JVM-side after it. Still
+    map-only end to end: zero shuffles (plan-pinned), so the seam costs
+    one Arrow crossing, not a plan break. On the ASCII synthetic corpus
+    NFC is the identity; the adversarial fuzz corpus carries the real
+    composed/decomposed cases."""
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: the module-wide `from __future__ import annotations`
+    # stringifies them and pyspark's hint inference can't resolve
+    # 'pd.Series'; an annotation-free function infers SCALAR eval type
+    _nfc = pandas_udf(lambda s: s.str.normalize("NFC"), "string")
+
+    d = _t(spark, sf_dir, "documents")
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                _nfc(F.coalesce("text", F.lit(""))), _CTRL_CLASS, ""
+            ),
+            _WS_CLASS,
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.sha2(clean, 256).alias("norm_sha"),
+        F.length(clean).alias("norm_len"),
+        (clean != F.coalesce("text", F.lit(""))).cast("int").alias("changed"),
+    )
+
+
+def _sql_text_normalize_stats():
+    return f"""
+    WITH n AS (
+      SELECT doc_id, coalesce(text, '') AS t,
+             trim(regexp_replace(regexp_replace(
+               nfc_normalize(coalesce(text, '')),
+               '{_CTRL_CLASS}', '', 'g'), '{_WS_CLASS}', ' ', 'g')) AS c
+      FROM documents)
+    SELECT doc_id, sha256(c) AS norm_sha, length(c) AS norm_len,
+           CAST(c <> t AS INT) AS changed
+    FROM n
+    """
+
+
 def q_mixture_sample_temp(spark, sf_dir):
     """Temperature-rebalanced mixture sampling (the unigram-LM / Pile-style
     α-tempering of source shares, α=0.5): each source keeps
@@ -3606,7 +3676,6 @@ _reg("window_analytics", q_window_analytics, _sql_window_analytics())
 _reg("stats_agg", q_stats_agg, _sql_stats_agg())
 _reg("stats_agg_approx", q_stats_agg_approx, None)
 _reg("topk_hot_keys", q_topk_hot_keys, _sql_topk_hot_keys())
-_reg("json_funcs", q_json_funcs, _sql_json_funcs())
 _reg("array_funcs", q_array_funcs, _sql_array_funcs())
 _reg("asof_join", q_asof_join, _sql_asof_join())
 _reg("interval_join_events", q_interval_join_events, _sql_interval_join_events())
@@ -3648,6 +3717,7 @@ _reg("quality_score", q_quality_score, _sql_quality_score())
 _reg("token_count", q_token_count, _sql_token_count())
 _reg("pii_redact_stats", q_pii_redact_stats, _sql_pii_redact_stats())
 _reg("tfidf_topk_terms", q_tfidf_topk_terms, _sql_tfidf_topk_terms())
+_reg("text_normalize_stats", q_text_normalize_stats, _sql_text_normalize_stats())
 _reg(
     "token_correction_stats",
     q_token_correction_stats,
@@ -3689,12 +3759,13 @@ _reg(
 )
 _reg("multimodal_audio_loudest", q_multimodal_audio_loudest, None)
 
-# Registered LAST among the value-exact set ON PURPOSE: with 54
-# oracle-backed queries the driver's 50-entry window overflows by four,
-# and these four function batteries are the right sacrifice — all have
+# Registered LAST among the value-exact set ON PURPOSE: with 55
+# oracle-backed queries the driver's 50-entry window overflows by five,
+# and these five function batteries are the right sacrifice — all have
 # committed driver-green rows in CORRECTNESS_r02/r03 and no code churn
 # since, while newer operators have no driver row yet.
 _reg("set_ops", q_set_ops, _sql_set_ops())
+_reg("json_funcs", q_json_funcs, _sql_json_funcs())
 _reg("date_funcs", q_date_funcs, _sql_date_funcs())
 _reg("string_funcs", q_string_funcs, _sql_string_funcs())
 _reg("math_funcs", q_math_funcs, _sql_math_funcs())

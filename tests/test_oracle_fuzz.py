@@ -34,6 +34,9 @@ ADVERSARIAL_DOCS = [
     # real PII + emoji width + null source: the scrub chain must agree
     # byte-for-byte and the injected layer must survive a null source
     (10, "mail a@b.co ip 10.0.0.1 tel 555-123-4567 🎉", "en", None, 43),
+    # decomposed é (e+U+0301), NBSP, vertical tab, control char: the NFC +
+    # explicit-whitespace-class normalization must agree byte-for-byte
+    (11, "café x y\x0bz \x07bell", "fr", "src2", 20),
 ]
 
 _TS = datetime.datetime(2024, 1, 1)
@@ -92,6 +95,7 @@ DOC_QUERIES = [
     "tfidf_topk_terms",
     "mixture_sample_temp",
     "dataset_shard_order",
+    "text_normalize_stats",
 ]
 EVENT_QUERIES = [
     "json_funcs",

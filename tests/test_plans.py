@@ -267,3 +267,16 @@ def test_dataset_shard_order_no_global_sort(spark):
     assert "Exchange SinglePartition" not in plan
     for py in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
         assert py not in plan
+
+
+def test_text_normalize_one_arrow_crossing_no_shuffle(spark):
+    """The NFC seam costs exactly ONE Arrow-batched Python eval; the
+    scrub/collapse chain stays JVM-side and the whole query is map-only
+    (zero exchanges) — a normalization pass must run at scan speed."""
+    from engine.queries import q_text_normalize_stats
+
+    plan = _plan(q_text_normalize_stats(spark, SF))
+    assert "Exchange" not in plan
+    n_py = sum(plan.count(p) for p in ("ArrowEvalPython", "BatchEvalPython"))
+    assert n_py == 1, plan
+    assert "BatchEvalPython" not in plan  # Arrow-batched, never pickled rows

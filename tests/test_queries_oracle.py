@@ -64,7 +64,8 @@ def test_registry_driver_window_covers_value_exact():
         assert not overflow, overflow
     else:
         assert overflow <= {
-            "string_funcs", "math_funcs", "date_funcs", "set_ops"
+            "string_funcs", "math_funcs", "date_funcs", "set_ops",
+            "json_funcs",
         }, overflow
 
 
