@@ -886,9 +886,18 @@ def vacuum_run(spark: SparkSession, manifest: RunManifest) -> dict:
         for p in manifest.dir.glob("extracted.gen-*")
         if p.name != active
     )
+    if active != "extracted":
+        # the REAL crash state of the first compaction (killed between
+        # the pointer flip and the old-dir delete) leaves the superseded
+        # table under the plain name "extracted" — expire it too
+        stale_gens.append("extracted")
     for rel in ("staged", "staged.tmp", "increment_input",
                 "extracted.pre_compact", "extracted.compact_tmp",
                 *stale_gens):
+        if rel == active:
+            # never delete the pointer's target, whatever it is named
+            # (defense in depth behind set_extracted_dir's name guard)
+            continue
         path = str(manifest.dir / rel)
         if os.path.exists(path):
             freed += sum(

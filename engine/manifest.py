@@ -162,9 +162,20 @@ class RunManifest:
         return str(self.dir / name)
 
     def set_extracted_dir(self, name: str) -> None:
-        """Atomically flip the active-table pointer (THE compact commit)."""
-        if "/" in name or not name.startswith("extracted"):
-            raise ValueError(f"not a run-local extracted dir name: {name!r}")
+        """Atomically flip the active-table pointer (THE compact commit).
+
+        Only "extracted" or a compaction generation is a legal target:
+        pointing at a recovery artifact like extracted.pre_compact would
+        make it vacuum_run's active-vs-stale classification problem (and
+        a later vacuum could have deleted the only copy). To recover a
+        legacy backup, rename it to one of the legal names first."""
+        import re
+
+        if not (name == "extracted" or re.fullmatch(r"extracted\.gen-\d+", name)):
+            raise ValueError(
+                f"not a legal extracted dir name: {name!r} (use 'extracted' "
+                "or 'extracted.gen-NNNN'; rename recovery artifacts first)"
+            )
         st = self.state()
         st["extracted_dir"] = name
         self._commit(st)

@@ -112,9 +112,14 @@ def export_pages_warc(
     repartition to the target segment size), with a per-partition manifest
     row (file, n_records) returned to the driver — the same
     small-manifest collect convention as lineage. Deterministic bytes for
-    deterministic input partitions (gzip mtime=0, md5 record ids)."""
+    deterministic input partitions (gzip mtime=0, md5 record ids).
+    Overwrite semantics like every other export: the dest is cleared
+    first, so a re-export with fewer partitions never leaves stale
+    part-NNNNN segments behind."""
     import os
+    import shutil
 
+    shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
 
     def write(batches):
@@ -122,11 +127,14 @@ def export_pages_warc(
 
         from pyspark import TaskContext
 
-        from engine.warc import encode_pages
+        from engine.warc import encode_pages, valid_page
 
         rows: list[dict] = []
         for pdf in batches:
             rows.extend(pdf.to_dict("records"))
+        # degenerate rows (null url / null warc_ts) are excluded, and the
+        # manifest count reflects what was actually written
+        rows = [r for r in rows if valid_page(r)]
         if not rows:
             return
         pid = TaskContext.get().partitionId()
@@ -155,11 +163,14 @@ _READERS = {
 def read_pages(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
     """Format-dispatched pages ingest (the CLI's --pages-format hook)."""
     try:
-        return _READERS[fmt](spark, path)
+        reader = _READERS[fmt]
     except KeyError:
         raise ValueError(
             f"unknown pages format {fmt!r}; one of {sorted(_READERS)}"
         ) from None
+    # called OUTSIDE the try: a KeyError raised inside a reader must not
+    # be misreported as an unknown format
+    return reader(spark, path)
 
 
 def write_pages(df: DataFrame, path: str, mode: str = "overwrite") -> None:

@@ -110,11 +110,30 @@ def gzip_member(record: bytes) -> bytes:
 
 # ---------------------------------------------------------------- codec: read
 def _inflate(buf: bytes) -> bytes:
-    """Transparently inflate multi-member gzip (GzipFile reads through
-    concatenated members — exactly the .warc.gz layout)."""
-    if buf[:2] == _GZIP_MAGIC:
-        return gzip.GzipFile(fileobj=io.BytesIO(buf)).read()
-    return buf
+    """Transparently inflate multi-member gzip (the .warc.gz layout),
+    TOLERANTLY: a truncated final member yields its partial bytes (the
+    half-record then falls off iter_records' Content-Length check), and a
+    corrupt member drops itself plus the tail while every member before
+    it still lands — degradation by exclusion, never a raised task
+    failure (GzipFile would raise EOFError/zlib.error here and kill the
+    whole segment's ingest on one bad byte)."""
+    if buf[:2] != _GZIP_MAGIC:
+        return buf
+    import zlib
+
+    out = []
+    data = buf
+    while data[:2] == _GZIP_MAGIC:
+        d = zlib.decompressobj(wbits=31)
+        try:
+            chunk = d.decompress(data)
+        except zlib.error:
+            break  # corrupt member: keep everything before it
+        out.append(chunk)
+        if not d.eof:
+            break  # truncated final member: partial bytes kept
+        data = d.unused_data
+    return b"".join(out)
 
 
 def iter_records(buf: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
@@ -156,7 +175,11 @@ def iter_records(buf: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
-            # unframed record: re-sync at the next version line
+            length = -1
+        if length < 0:
+            # unframed or negatively-framed record: a negative length
+            # could move `pos` BACKWARDS (an infinite loop on a crafted
+            # record) — re-sync at the next version line instead
             nxt = buf.find(b"WARC/1.", body_start)
             if nxt < 0:
                 return
@@ -218,12 +241,25 @@ def pages_from_archive(buf: bytes) -> Iterator[dict]:
             }
 
 
+def valid_page(r: dict) -> bool:
+    """A row is serializable iff it has a real url string and a real
+    timestamp. `ts != ts` catches pandas NaT (which, NaN-like, compares
+    unequal to itself and has no strftime) — the schema declares warc_ts
+    non-nullable, but Spark does not enforce declared non-nullability on
+    json/csv ingest, so nulls can reach the writer."""
+    url, ts = r.get("url"), r.get("warc_ts")
+    return isinstance(url, str) and ts is not None and ts == ts
+
+
 def encode_pages(
     rows: Iterable[dict], wet: bool = False, compress: bool = True
 ) -> bytes:
-    """Serialize pages rows into one WARC (or WET) file's bytes."""
+    """Serialize pages rows into one WARC (or WET) file's bytes; rows
+    failing `valid_page` are excluded (degenerate, not fatal)."""
     out = io.BytesIO()
     for r in rows:
+        if not valid_page(r):
+            continue
         if wet:
             text = r.get("text")
             rec = build_conversion_record(

@@ -690,12 +690,29 @@ def test_compact_kill_window_leaves_readable_table(spark, pages, tmp_path):
     assert not os.path.exists(os.path.join(str(man.dir), "extracted"))
     assert fp() == frozen
 
-    # (b) crash AFTER the flip: superseded generation still on disk
-    stale = os.path.join(str(man.dir), "extracted.gen-0000")
+    # (b) crash AFTER the flip, in its REAL shape: the first compaction's
+    # superseded table is the PLAIN "extracted" directory (review finding:
+    # a gen-* glob alone would leak it forever)
+    stale = os.path.join(str(man.dir), "extracted")
     shutil.copytree(man.extracted_path, stale)
     assert fp() == frozen
     res = vacuum_run(spark, man)
+    assert "extracted" in res["removed"]
+    assert not os.path.exists(stale)
+
+    # and a superseded *generation* name is expired the same way
+    stale_gen = os.path.join(str(man.dir), "extracted.gen-0000")
+    shutil.copytree(man.extracted_path, stale_gen)
+    res = vacuum_run(spark, man)
     assert "extracted.gen-0000" in res["removed"]
+
+    # the pointer may only name "extracted" or a generation — recovery
+    # artifacts must be renamed, never pointed at (else a later vacuum
+    # could delete the active table)
+    import pytest
+
+    with pytest.raises(ValueError, match="not a legal extracted dir"):
+        man.set_extracted_dir("extracted.pre_compact")
 
     # compacting a compacted run stacks generations monotonically
     compact_run(spark, man, target_file_bytes=1 << 30)

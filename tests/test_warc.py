@@ -242,3 +242,75 @@ def test_export_run_wet_full_cc_loop(spark, pages, tmp_path):
     }
     assert res["rows"] == len(want)
     assert got == want
+
+
+def test_codec_negative_content_length_terminates():
+    """Review finding: a negative Content-Length matching the header size
+    moved `pos` backwards — an infinite yield loop. Must re-sync instead,
+    committing nothing for the crafted record and every well-formed
+    record around it."""
+    good = build_response_record("http://n.example/ok", TS, b"<p>ok</p>")
+    evil = build_record(
+        "response",
+        {"WARC-Target-URI": "http://n.example/evil",
+         "WARC-Date": "2026-03-01T12:00:00Z"},
+        b"",
+    ).replace(b"Content-Length: 0", b"Content-Length: -116")
+    for buf in (evil, evil + good, good + evil + good):
+        urls = [r["url"] for r in pages_from_archive(buf)]  # must terminate
+        assert "http://n.example/evil" not in urls
+    assert [r["url"] for r in pages_from_archive(good + evil + good)] == [
+        "http://n.example/ok", "http://n.example/ok"
+    ]
+
+
+def test_codec_truncated_and_corrupt_gzip_degrade():
+    """Review finding: GzipFile raised EOFError/zlib.error on a truncated
+    or bit-flipped .warc.gz — one bad segment byte killed the whole ingest
+    task. Every complete member before the damage must still land."""
+    recs = [
+        build_response_record(f"http://z.example/{i}", TS, b"<p>%d</p>" % i)
+        for i in range(4)
+    ]
+    members = [gzip_member(r) for r in recs]
+    whole = b"".join(members)
+    # truncation mid-final-member: first three records survive
+    cut = whole[: sum(len(m) for m in members[:3]) + 10]
+    assert [r["url"] for r in pages_from_archive(cut)] == [
+        f"http://z.example/{i}" for i in range(3)
+    ]
+    # bit flip inside member 2's deflate stream: members 0-1 survive
+    flip = bytearray(whole)
+    flip[len(members[0]) + len(members[1]) + 20] ^= 0xFF
+    got = [r["url"] for r in pages_from_archive(bytes(flip))]
+    assert got[:2] == ["http://z.example/0", "http://z.example/1"]
+    assert "http://z.example/2" not in got
+
+
+def test_codec_excludes_null_url_and_nat_ts():
+    """Review finding: a pandas NaT warc_ts crashed encode_pages (NaT has
+    no strftime) and a null url serialized as the string 'None'. Both are
+    degenerate rows: excluded, counted out of the manifest."""
+    import pandas as pd
+
+    rows = [
+        {"url": "http://v.example/ok", "warc_ts": TS, "html": b"x"},
+        {"url": None, "warc_ts": TS, "html": b"x"},
+        {"url": "http://v.example/nat", "warc_ts": pd.NaT, "html": b"x"},
+    ]
+    back = list(pages_from_archive(encode_pages(rows)))
+    assert [r["url"] for r in back] == ["http://v.example/ok"]
+
+
+def test_export_overwrites_stale_segments(spark, pages, tmp_path):
+    """Review finding: re-exporting into the same dest with fewer
+    partitions left stale part-NNNNN segments from the previous export —
+    dest must be cleared first, like every other export format."""
+    import os
+
+    p = str(tmp_path / "re_export")
+    export_pages_warc(pages, p)  # 3 partitions → 3 segments
+    manifest = export_pages_warc(pages.coalesce(1), p)
+    assert len(manifest) == 1
+    assert len(os.listdir(p)) == 1
+    assert _fingerprint(read_pages_warc(spark, p)) == _fingerprint(pages)
