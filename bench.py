@@ -109,6 +109,8 @@ HEADLINE = [
     "multimodal_image_meta",
     "multimodal_audio_meta",
     "multimodal_audio_loudest",
+    "multimodal_video_meta",
+    "multimodal_video_frames",
     "mixture_sample_temp",
     "dataset_shard_order",
     "pii_redact_stats",

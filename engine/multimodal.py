@@ -359,3 +359,188 @@ def audio_features(media_df):
     return media_df.select("media_id", "payload").mapInPandas(
         audio_feature_batches, schema=AUDIO_FEATURES_DDL
     )
+
+
+# =========================================================================
+# Video path — encode / sniff / FRAME SAMPLING over a raw-frames payload
+# =========================================================================
+
+VIDEO_META_DDL = (
+    "media_id long, fmt string, width int, height int, n_frames int, "
+    "fps_x100 int, duration_ms long, n_bytes long, parse_ok boolean"
+)
+VIDEO_FRAMES_DDL = (
+    "media_id long, frame_idx int, ts_ms long, sum_lum long, status string"
+)
+
+_VIDEO_MAGIC = b"FVIX"  # magic|w|h|n_frames|fps_x100|frames(u8 gray, w*h each)
+
+
+def encode_fake_video(
+    media_id: int, width: int, height: int, n_frames: int, fps_x100: int = 1200
+) -> bytes:
+    """Deterministic synthetic video payload: n_frames raw grayscale
+    frames, pixel = f(media_id, global byte offset) — same arithmetic
+    family as the image path so a decode-loop byte flip is detectable."""
+    head = _VIDEO_MAGIC + struct.pack("<IIII", width, height, n_frames, fps_x100)
+    n = width * height * n_frames
+    px = bytearray(n)
+    for i in range(n):
+        px[i] = (media_id * 31 + i * 7) & 0xFF
+    return head + bytes(px)
+
+
+def sniff_video_meta(data: bytes | None) -> dict:
+    """Header-only metadata — never touches frame bytes. fps is carried as
+    an integer fps_x100 and duration as integer ms so every downstream
+    comparison is float-free."""
+    if not data or len(data) < 20 or data[:4] != _VIDEO_MAGIC:
+        return {
+            "fmt": None,
+            "width": None,
+            "height": None,
+            "n_frames": None,
+            "fps_x100": None,
+            "duration_ms": None,
+            "n_bytes": len(data) if data else 0,
+            "parse_ok": False,
+        }
+    w, h, nf, fps = struct.unpack("<IIII", data[4:20])
+    return {
+        "fmt": "fvix",
+        "width": w,
+        "height": h,
+        "n_frames": nf,
+        "fps_x100": fps,
+        "duration_ms": (nf * 100000) // fps if fps else None,
+        "n_bytes": len(data),
+        "parse_ok": True,
+    }
+
+
+def decode_video_real(data: bytes):
+    """The production decode seam (ffmpeg/pyav on a real cluster; the
+    sandbox ships no codecs — see module doc)."""
+    raise NotImplementedError(
+        "video codecs are not available in this environment; "
+        "use decode_video_fake for the synthetic FVIX format"
+    )
+
+
+def decode_video_fake(data: bytes) -> tuple[int, int, int, int, bytes]:
+    meta = sniff_video_meta(data)
+    if not meta["parse_ok"]:
+        raise ValueError("not an FVIX payload")
+    w, h, nf = meta["width"], meta["height"], meta["n_frames"]
+    return w, h, nf, meta["fps_x100"], data[20 : 20 + w * h * nf]
+
+
+def sample_frame_indices(n_frames: int, k: int) -> list[int]:
+    """Evenly spaced distinct frame indices (the standard every-Nth
+    sampling a training pipeline runs instead of decoding all frames)."""
+    if n_frames <= 0:
+        return []
+    kk = min(k, n_frames)
+    return sorted({(j * n_frames) // kk for j in range(kk)})
+
+
+def video_meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for mid, data in zip(pdf["media_id"], pdf["payload"]):
+            rec = sniff_video_meta(data)
+            rec["media_id"] = int(mid)
+            rows.append(rec)
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "media_id", "fmt", "width", "height", "n_frames",
+                "fps_x100", "duration_ms", "n_bytes", "parse_ok",
+            ],
+        )
+
+
+def video_frame_batches(k: int):
+    """mapInPandas body factory: decode (fake) + sample k frames per video
+    → one row per sampled frame with its INTEGER luminance sum (float-free
+    so the DuckDB twin can recompute it from the generator arithmetic —
+    agreement proves the encode→binary→decode→sample loop byte-exact)."""
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf["media_id"], pdf["payload"]):
+                mid = int(mid)
+                try:
+                    w, h, nf, fps, px = decode_video_fake(data)
+                except Exception:
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "frame_idx": None,
+                            "ts_ms": None,
+                            "sum_lum": None,
+                            "status": "failed",
+                        }
+                    )
+                    continue
+                fsz = w * h
+                for idx in sample_frame_indices(nf, k):
+                    frame = px[idx * fsz : (idx + 1) * fsz]
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "frame_idx": idx,
+                            "ts_ms": (idx * 100000) // fps if fps else None,
+                            "sum_lum": sum(frame),
+                            "status": "ok",
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "ts_ms", "sum_lum", "status"],
+            )
+
+    return body
+
+
+def generate_video(spark, n: int, partitions: int = 8):
+    """Distributed synthetic video table; every 17th payload corrupt."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                if i % 17 == 0:
+                    rows.append({"media_id": i, "payload": b"\x00garbage"})
+                else:
+                    rows.append(
+                        {
+                            "media_id": i,
+                            "payload": encode_fake_video(
+                                i,
+                                8 + i % 5,
+                                6 + i % 4,
+                                4 + i % 9,
+                                800 + 100 * (i % 5),
+                            ),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return spark.range(0, n, numPartitions=partitions).mapInPandas(
+        gen, schema="media_id long, payload binary"
+    )
+
+
+def video_meta(media_df):
+    return media_df.select("media_id", "payload").mapInPandas(
+        video_meta_batches, schema=VIDEO_META_DDL
+    )
+
+
+def video_frames(media_df, k: int = 4):
+    return media_df.select("media_id", "payload").mapInPandas(
+        video_frame_batches(k), schema=VIDEO_FRAMES_DDL
+    )

@@ -3243,6 +3243,90 @@ def _sql_multimodal_audio_meta():
     """
 
 
+def q_multimodal_video_meta(spark, sf_dir):
+    """Video third of the multimodal meta family (FVIX header sniff vs
+    generator-parameter derivation — value-exact like the image/audio
+    twins). fps is carried as integer fps_x100 and duration as integer
+    ms, so the comparison is float-free end to end."""
+    from engine import multimodal as M
+
+    media = M.generate_video(spark, N_MULTIMODAL_MEDIA, partitions=8)
+    return M.video_meta(media).select(
+        "media_id",
+        "fmt",
+        "width",
+        "height",
+        "n_frames",
+        "fps_x100",
+        "duration_ms",
+        "n_bytes",
+        F.col("parse_ok").cast("int").alias("parse_ok"),
+    )
+
+
+def _sql_multimodal_video_meta():
+    return f"""
+    SELECT i AS media_id,
+      CASE WHEN i % 17 = 0 THEN NULL ELSE 'fvix' END AS fmt,
+      CASE WHEN i % 17 = 0 THEN NULL ELSE 8 + i % 5 END AS width,
+      CASE WHEN i % 17 = 0 THEN NULL ELSE 6 + i % 4 END AS height,
+      CASE WHEN i % 17 = 0 THEN NULL ELSE 4 + i % 9 END AS n_frames,
+      CASE WHEN i % 17 = 0 THEN NULL ELSE 800 + 100 * (i % 5) END AS fps_x100,
+      CASE WHEN i % 17 = 0 THEN NULL
+           ELSE ((4 + i % 9) * 100000) // (800 + 100 * (i % 5))
+      END AS duration_ms,
+      CASE WHEN i % 17 = 0 THEN 8
+           ELSE 20 + (8 + i % 5) * (6 + i % 4) * (4 + i % 9) END AS n_bytes,
+      CASE WHEN i % 17 = 0 THEN 0 ELSE 1 END AS parse_ok
+    FROM range(0, {N_MULTIMODAL_MEDIA}) t(i)
+    """
+
+
+def q_multimodal_video_frames(spark, sf_dir):
+    """Frame sampling — the video op a training pipeline actually runs
+    (decode + pick k evenly spaced frames, never all of them): one
+    Arrow-batched mapInPandas crossing emits one row per sampled frame
+    with its INTEGER luminance sum. VALUE-EXACT including the decoded
+    pixel sums: the DuckDB twin recomputes every sampled frame's sum from
+    the generator arithmetic ((id*31 + offset*7) mod 256) without seeing
+    a byte — agreement proves the encode→binary→decode→sample loop is
+    byte-exact. Corrupt payloads degrade to a single 'failed' row."""
+    from engine import multimodal as M
+
+    media = M.generate_video(spark, N_MULTIMODAL_MEDIA, partitions=8)
+    return M.video_frames(media, k=4)
+
+
+def _sql_multimodal_video_frames():
+    return f"""
+    WITH vids AS (
+      SELECT i AS media_id, 8 + i % 5 AS w, 6 + i % 4 AS h,
+             4 + i % 9 AS nf, 800 + 100 * (i % 5) AS fps
+      FROM range(0, {N_MULTIMODAL_MEDIA}) t(i) WHERE i % 17 <> 0),
+    samp AS (
+      SELECT DISTINCT media_id, w, h, fps,
+             CAST((j * nf) // least(4, nf) AS INT) AS frame_idx
+      FROM vids, range(0, 4) s(j)
+      WHERE j < least(4, nf)),
+    px AS (
+      SELECT media_id, frame_idx, fps,
+             sum((media_id * 31 + (frame_idx * w * h + p) * 7) % 256)
+               AS sum_lum
+      FROM samp, range(0, 256) q(p)
+      WHERE p < w * h
+      GROUP BY 1, 2, 3)
+    SELECT media_id, frame_idx,
+           (frame_idx * 100000) // fps AS ts_ms,
+           sum_lum, 'ok' AS status
+    FROM px
+    UNION ALL
+    SELECT i AS media_id, CAST(NULL AS INT) AS frame_idx,
+           CAST(NULL AS BIGINT) AS ts_ms, CAST(NULL AS BIGINT) AS sum_lum,
+           'failed' AS status
+    FROM range(0, {N_MULTIMODAL_MEDIA}) t(i) WHERE i % 17 = 0
+    """
+
+
 def q_multimodal_audio_loudest(spark, sf_dir):
     """Audio twin of the image pipeline (rows-only): deterministic PCMX
     table → header sniff (sample_rate/duration without decoding) → RMS
@@ -3769,6 +3853,13 @@ _reg("json_funcs", q_json_funcs, _sql_json_funcs())
 _reg("date_funcs", q_date_funcs, _sql_date_funcs())
 _reg("string_funcs", q_string_funcs, _sql_string_funcs())
 _reg("math_funcs", q_math_funcs, _sql_math_funcs())
+# The video twins register after the batteries ON PURPOSE: the multimodal
+# meta family already has driver-green coverage via the in-window
+# image/audio twins; these two are repo-harness-verified (value-exact)
+# and stay outside the 50-window rather than displace distinct operator
+# families.
+_reg("multimodal_video_meta", q_multimodal_video_meta, _sql_multimodal_video_meta())
+_reg("multimodal_video_frames", q_multimodal_video_frames, _sql_multimodal_video_frames())
 
 # Rows-only queries in descending driver-visibility priority (they fill
 # whatever slots remain under the driver's 50-entry window after the

@@ -154,3 +154,59 @@ def test_registered_multimodal_queries_deterministic(spark):
         a = [tuple(r) for r in _QUERIES[name](spark, "unused").collect()]
         b = [tuple(r) for r in _QUERIES[name](spark, "unused").collect()]
         assert a == b and len(a) == 10, name
+
+
+# ----------------------------------------------------------------- video
+def test_video_codec_roundtrip_and_sampling():
+    from engine.multimodal import (
+        decode_video_fake,
+        decode_video_real,
+        encode_fake_video,
+        sample_frame_indices,
+        sniff_video_meta,
+    )
+
+    b = encode_fake_video(5, 8, 6, 7, 1200)
+    meta = sniff_video_meta(b)
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (8, 6, 7)
+    assert meta["duration_ms"] == 7 * 100000 // 1200
+    w, h, nf, fps, px = decode_video_fake(b)
+    assert len(px) == w * h * nf
+    # sampling: evenly spaced distinct; short videos yield ALL frames
+    assert sample_frame_indices(7, 4) == [0, 1, 3, 5]
+    assert sample_frame_indices(2, 4) == [0, 1]
+    assert sample_frame_indices(0, 4) == []
+    assert sniff_video_meta(b"\x00garbage")["parse_ok"] is False
+    import pytest as _pt
+
+    with _pt.raises(NotImplementedError):
+        decode_video_real(b)
+
+
+def test_video_frames_spark_path(spark):
+    """Frame sampling through the real mapInPandas crossing: ok rows for
+    every parseable video (all frames when n_frames < k), one failed row
+    per corrupt payload, and per-frame sums match a local decode."""
+    from engine.multimodal import (
+        decode_video_fake,
+        generate_video,
+        sample_frame_indices,
+        video_frames,
+    )
+
+    media = generate_video(spark, 60, partitions=4)
+    rows = video_frames(media, k=4).collect()
+    failed = {r["media_id"] for r in rows if r["status"] == "failed"}
+    assert failed == {i for i in range(60) if i % 17 == 0}
+    by_media = {}
+    for r in rows:
+        if r["status"] == "ok":
+            by_media.setdefault(r["media_id"], []).append(r)
+    payloads = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    for mid, frames in by_media.items():
+        w, h, nf, fps, px = decode_video_fake(payloads[mid])
+        assert sorted(f["frame_idx"] for f in frames) == sample_frame_indices(nf, 4)
+        for f in frames:
+            seg = px[f["frame_idx"] * w * h : (f["frame_idx"] + 1) * w * h]
+            assert f["sum_lum"] == sum(seg)
+            assert f["ts_ms"] == (f["frame_idx"] * 100000) // fps
