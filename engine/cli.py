@@ -9,6 +9,8 @@ Verbs map 1:1 to the reference controller's:
   increment→ extract only urls absent from base runs; output unions with
              the bases into one logical table (snapshot-append semantics)
   rollup   → per-run/partition metrics rollup               (emop_upload [U])
+  stats    → one-scan data-quality profile of the extracted table
+             (status counts, text sizes, quality quantiles)
   vacuum   → expire a completed run's recoverable artifacts (staged
              leftovers, increment_input, compaction backup)
   compact  → rewrite a completed run's output at target file size
@@ -102,6 +104,15 @@ def main(argv: list[str] | None = None) -> int:
     up = sub.add_parser("rollup")
     up.add_argument("--runs-root", required=True)
     up.add_argument("--run-id", required=True)
+
+    st = sub.add_parser(
+        "stats",
+        description="Data-quality profile of a run's extracted table "
+        "(one-scan multi-aggregate: status counts, text sizes, quality "
+        "quantiles).",
+    )
+    st.add_argument("--runs-root", required=True)
+    st.add_argument("--run-id", required=True)
 
     cp = sub.add_parser(
         "compact",
@@ -322,6 +333,11 @@ def main(argv: list[str] | None = None) -> int:
                 )
             )
         )
+    elif a.verb == "stats":
+        from engine.jobs.extract_job import run_stats
+
+        m = RunManifest.load(a.runs_root, a.run_id)
+        print(json.dumps(run_stats(spark, m)))
     elif a.verb == "rollup":
         m = RunManifest.load(a.runs_root, a.run_id)
         rows = rollup_metrics(spark, m).collect()

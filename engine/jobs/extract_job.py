@@ -846,6 +846,38 @@ def export_run(
     return {"run_id": run_label, "dest": dest, "format": fmt, "rows": n}
 
 
+def run_stats(spark: SparkSession, manifest: RunManifest) -> dict:
+    """Data-quality profile of a run's extracted table — the ANALYZE-style
+    gate an operator runs before exporting: per-status doc counts, text
+    size aggregates, per-column null counts, distinct url count, quality
+    quantiles. ONE scan computes everything (multi-aggregate, map-side
+    partials); approx_count_distinct and approx_percentile keep the
+    aggregation state constant-size at any corpus scale."""
+    cur = read_extracted(spark, manifest)
+    row = cur.agg(
+        F.count("*").alias("rows"),
+        F.approx_count_distinct("url").alias("approx_urls"),
+        F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok"),
+        F.sum(F.when(F.col("status") != "ok", 1).otherwise(0)).alias("failed"),
+        F.sum(F.col("text").isNull().cast("long")).alias("null_text"),
+        F.sum(F.coalesce(F.length("text"), F.lit(0))).alias("text_bytes"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.expr(
+            "approx_percentile(quality, array(0.5, 0.9), 1000)"
+        ).alias("quality_p50_p90"),
+        F.countDistinct("extractor_version").alias("n_versions"),
+    ).collect()[0]
+    out = row.asDict()
+    q = out.pop("quality_p50_p90") or [None, None]
+    out["quality_p50"], out["quality_p90"] = (
+        round(q[0], 4) if q[0] is not None else None,
+        round(q[1], 4) if q[1] is not None else None,
+    )
+    out["run_id"] = manifest.run_id
+    return out
+
+
 def vacuum_run(spark: SparkSession, manifest: RunManifest) -> dict:
     """Expire a completed run's recoverable artifacts — the
     expire-snapshots/table-maintenance analog. Deletes, when present:

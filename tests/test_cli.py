@@ -97,3 +97,23 @@ def test_cli_degenerate_list_args_fail_fast(tmp_path):
             "export", "--runs-root", str(tmp_path), "--run-id", " ,, ",
             "--dest", str(tmp_path / "out"),
         ])
+
+
+def test_cli_stats_verb(spark, tmp_path, capsys, monkeypatch):
+    """stats = the one-scan data-quality profile of a run's extracted
+    table: counts reconcile with the run result, quality quantiles land
+    in [0, 1]."""
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    c = str(tmp_path / "c.parquet")
+    root = str(tmp_path / "runs")
+    _run(capsys, "synth", "--out", c, "--docs", "120", "--partitions", "2")
+    _run(capsys, "enqueue", "--pages", c, "--runs-root", root, "--run-id", "s1")
+    r = _run(capsys, "run", "--pages", c, "--runs-root", root, "--run-id", "s1")
+    st = _run(capsys, "stats", "--runs-root", root, "--run-id", "s1")
+    assert st["run_id"] == "s1"
+    assert st["rows"] == r["docs_processed"]
+    assert st["ok"] + st["failed"] == st["rows"]
+    assert st["text_bytes"] > 0 and st["n_versions"] == 1
+    assert 0.0 <= st["quality_p50"] <= st["quality_p90"] <= 1.0
+    # approx distinct within its documented error of the true url count
+    assert abs(st["approx_urls"] - st["rows"]) <= 0.1 * st["rows"]
