@@ -860,7 +860,9 @@ def run_stats(spark: SparkSession, manifest: RunManifest) -> dict:
         F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok"),
         F.sum(F.when(F.col("status") != "ok", 1).otherwise(0)).alias("failed"),
         F.sum(F.col("text").isNull().cast("long")).alias("null_text"),
-        F.sum(F.coalesce(F.length("text"), F.lit(0))).alias("text_bytes"),
+        # octet_length = true UTF-8 bytes (length() counts characters —
+        # an under-count on any accented corpus, review finding)
+        F.sum(F.coalesce(F.octet_length("text"), F.lit(0))).alias("text_bytes"),
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
         F.expr(

@@ -432,6 +432,11 @@ def decode_video_fake(data: bytes) -> tuple[int, int, int, int, bytes]:
     if not meta["parse_ok"]:
         raise ValueError("not an FVIX payload")
     w, h, nf = meta["width"], meta["height"], meta["n_frames"]
+    if len(data) < 20 + w * h * nf:
+        # header promises more pixels than the payload carries — a
+        # truncated capture must fail the record, not return short
+        # buffers whose frame sums would silently read as zeros
+        raise ValueError("truncated FVIX payload")
     return w, h, nf, meta["fps_x100"], data[20 : 20 + w * h * nf]
 
 

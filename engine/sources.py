@@ -120,7 +120,12 @@ def export_pages_warc(
     import shutil
 
     shutil.rmtree(path, ignore_errors=True)
-    os.makedirs(path, exist_ok=True)
+    if os.path.exists(path):
+        # rmtree(ignore_errors) swallows failures (and no-ops on a plain
+        # file) — writing into a half-cleared dest would silently mix
+        # stale and fresh segments, so refuse loudly instead
+        raise RuntimeError(f"could not clear export dest: {path}")
+    os.makedirs(path)
 
     def write(batches):
         import pandas as pd

@@ -186,7 +186,15 @@ def iter_records(buf: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
             pos = nxt
             continue
         if body_start + length > n:
-            return  # truncated tail — never committed
+            # overlong claim: either the file really is truncated (no
+            # later version line — stop) or one record's Content-Length
+            # is corrupt mid-segment (a later version line exists —
+            # re-sync so every well-formed record after it still lands)
+            nxt = buf.find(b"WARC/1.", body_start)
+            if nxt < 0:
+                return
+            pos = nxt
+            continue
         if ok:
             yield headers, buf[body_start : body_start + length]
         pos = body_start + length

@@ -210,3 +210,27 @@ def test_video_frames_spark_path(spark):
             seg = px[f["frame_idx"] * w * h : (f["frame_idx"] + 1) * w * h]
             assert f["sum_lum"] == sum(seg)
             assert f["ts_ms"] == (f["frame_idx"] * 100000) // fps
+
+
+def test_video_truncated_payload_fails_not_zero_frames():
+    """Review finding: a payload with a valid header but short pixel
+    section returned short buffers whose frame sums silently read as
+    zeros — it must fail the record instead."""
+    import pytest as _pt
+
+    from engine.multimodal import decode_video_fake, encode_fake_video
+
+    full = encode_fake_video(1, 8, 6, 7)
+    with _pt.raises(ValueError, match="truncated"):
+        decode_video_fake(full[:40])
+    # and through the Spark frame sampler: one failed row, no fake 'ok's
+    import pandas as pd
+
+    from engine.multimodal import video_frame_batches
+
+    out = pd.concat(
+        video_frame_batches(4)(
+            iter([pd.DataFrame({"media_id": [1], "payload": [full[:40]]})])
+        )
+    )
+    assert list(out["status"]) == ["failed"]

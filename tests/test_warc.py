@@ -314,3 +314,26 @@ def test_export_overwrites_stale_segments(spark, pages, tmp_path):
     assert len(manifest) == 1
     assert len(os.listdir(p)) == 1
     assert _fingerprint(read_pages_warc(spark, p)) == _fingerprint(pages)
+
+
+def test_codec_overlong_length_resyncs_midsegment():
+    """Review finding: one corrupt digit in a mid-segment Content-Length
+    (overlong claim) dropped every record after it. If a later version
+    line exists the parser must re-sync; a truly truncated tail still
+    stops cleanly."""
+    good1 = build_response_record("http://o.example/1", TS, b"<p>1</p>")
+    bad = build_record(
+        "response",
+        {"WARC-Target-URI": "http://o.example/bad",
+         "WARC-Date": "2026-03-01T12:00:00Z"},
+        b"<p>2</p>",
+    ).replace(b"Content-Length: 8", b"Content-Length: 9116", 1)
+    good2 = build_response_record("http://o.example/3", TS, b"<p>3</p>")
+    assert [r["url"] for r in pages_from_archive(good1 + bad + good2)] == [
+        "http://o.example/1",
+        "http://o.example/3",
+    ]
+    # overlong claim at the END = real truncation: stop, no false records
+    assert [r["url"] for r in pages_from_archive(good1 + bad)] == [
+        "http://o.example/1"
+    ]
