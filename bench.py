@@ -114,6 +114,8 @@ HEADLINE = [
     "mixture_sample_temp",
     "dataset_shard_order",
     "pii_redact_stats",
+    "keyword_search_topk",
+    "triangle_parts",
     "text_normalize_stats",
     "tfidf_topk_terms",
     "repetition_metrics",

@@ -396,14 +396,24 @@ def q_stats_agg(spark, sf_dir):
     sort per group (fine for |groups| small; use approx_percentile at
     unbounded cardinality). Rounded AFTER aggregation on both engines."""
     li = _t(spark, sf_dir, "lineitem")
+    # corr() under ANSI mode (Spark 4 default) RAISES DIVIDE_BY_ZERO on a
+    # zero-variance group — one constant-price group would kill the whole
+    # job (round-4 fuzz find); DuckDB returns NULL. Hand-rolled Pearson
+    # over pairwise-complete rows with a zero-variance guard restores the
+    # declared NULL degradation, value-identical elsewhere.
+    both = F.col("l_quantity").isNotNull() & F.col(
+        "l_extendedprice"
+    ).isNotNull()
+    qx = F.when(both, F.col("l_quantity"))
+    px = F.when(both, F.col("l_extendedprice"))
+    sx, sy = F.stddev_pop(qx), F.stddev_pop(px)
+    corr_guarded = F.when((sx > 0) & (sy > 0), F.covar_pop(qx, px) / (sx * sy))
     # + 0.0 after round: IEEE negative zero (-0.0) stringifies differently
     # from 0.0 and the engines can land on opposite signs of zero
     return li.groupBy("l_returnflag").agg(
         (F.round(F.stddev_samp("l_extendedprice"), 2) + 0.0).alias("sd_price"),
         (F.round(F.var_samp("l_quantity"), 2) + 0.0).alias("var_qty"),
-        (F.round(F.corr("l_quantity", "l_extendedprice"), 4) + 0.0).alias(
-            "corr_qty_price"
-        ),
+        (F.round(corr_guarded, 4) + 0.0).alias("corr_qty_price"),
         (F.round(F.covar_samp("l_discount", "l_tax"), 6) + 0.0).alias(
             "covar_disc_tax"
         ),
@@ -2817,6 +2827,140 @@ def _sql_dataset_shard_order():
     """
 
 
+KEYWORD_QUERY_TERMS = ("table", "hash", "scan")
+
+
+def q_keyword_search_topk(spark, sf_dir):
+    """Conjunctive keyword search over an inverted-index shape: build
+    postings (doc_id, term, tf) for the query terms only, intersect by
+    requiring every term present (groupBy + HAVING count = |q| — the
+    posting-list intersection, no join chain), rank by total tf with a
+    doc_id tie-break, top 20.
+
+    Scale: the term filter lands directly on the exploded token stream
+    (map-side, before any shuffle), so the shuffled postings are only the
+    query terms' — at 100 TB that is |q| posting lists, not the corpus;
+    intersection is one hash agg; final top-k is TakeOrderedAndProject
+    (no global sort). A stored inverted index would make the scan itself
+    |q|-proportional; this is the scan-once form of the same plan."""
+    d = _t_spread(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.coalesce("text", F.lit("")), " "),
+                lambda x: x != "",
+            )
+        ).alias("term"),
+    ).where(F.col("term").isin(*KEYWORD_QUERY_TERMS))
+    postings = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    return (
+        postings.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.sum("tf").alias("total_tf"),
+        )
+        .where(F.col("n_terms") == len(KEYWORD_QUERY_TERMS))
+        .orderBy(F.desc("total_tf"), F.asc("doc_id"))
+        .limit(20)
+        .select("doc_id", "total_tf")
+    )
+
+
+def _sql_keyword_search_topk():
+    terms = ", ".join(f"'{t}'" for t in KEYWORD_QUERY_TERMS)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(coalesce(text, ''), ' '),
+                                x -> x <> '')) AS term
+      FROM documents),
+    postings AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM toks WHERE term IN ({terms})
+      GROUP BY 1, 2)
+    SELECT doc_id, sum(tf) AS total_tf
+    FROM postings
+    GROUP BY doc_id
+    HAVING count(*) = {len(KEYWORD_QUERY_TERMS)}
+    ORDER BY total_tf DESC, doc_id ASC
+    LIMIT 20
+    """
+
+
+def q_triangle_parts(spark, sf_dir):
+    """Triangle counting on the part co-purchase graph (parts are nodes,
+    an edge = two parts appearing in the same order): top-10 parts by the
+    number of triangles they sit in. The classic two-join triangle
+    enumeration with the a<b<c canonical orientation, so every triangle
+    is found exactly once.
+
+    Scale: edges are distinct canonical pairs (one dedup shuffle); the
+    enumeration is two self-joins keyed on single node columns. The
+    orientation trick IS the scale lever — joining only a<b<c wedges
+    bounds each probe by the out-degree under the ordering (≈ degree/2),
+    halving-squared the worst reducer vs naive undirected joins; real
+    deployments order by degree instead of id (same plan, tighter bound).
+    At 100 TB the edge dedup dominates and is a plain bounded hash
+    shuffle."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = [li.alias(s) for s in "ab"]
+    edges = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    e1, e2, e3 = [edges.alias(s) for s in ("e1", "e2", "e3")]
+    tris = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e1.u") == F.col("e3.u")) & (F.col("e2.v") == F.col("e3.v")),
+        )
+        .select(
+            F.col("e1.u").alias("pa"),
+            F.col("e1.v").alias("pb"),
+            F.col("e2.v").alias("pc"),
+        )
+    )
+    nodes = (
+        tris.select(F.col("pa").alias("part"))
+        .unionAll(tris.select(F.col("pb").alias("part")))
+        .unionAll(tris.select(F.col("pc").alias("part")))
+    )
+    return (
+        nodes.groupBy("part")
+        .agg(F.count("*").alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), F.asc("part"))
+        .limit(10)
+    )
+
+
+def _sql_triangle_parts():
+    return """
+    WITH edges AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey),
+    tris AS (
+      SELECT e1.u AS pa, e1.v AS pb, e2.v AS pc
+      FROM edges e1
+      JOIN edges e2 ON e1.v = e2.u
+      JOIN edges e3 ON e1.u = e3.u AND e2.v = e3.v),
+    nodes AS (
+      SELECT pa AS part FROM tris
+      UNION ALL SELECT pb FROM tris
+      UNION ALL SELECT pc FROM tris)
+    SELECT part, count(*) AS n_triangles
+    FROM nodes GROUP BY part
+    ORDER BY n_triangles DESC, part ASC
+    LIMIT 10
+    """
+
+
 def q_column_profile(spark, sf_dir):
     """ANALYZE-TABLE-style column profile of `documents`: per column, its
     null count and exact distinct count — the statistics a warehouse
@@ -3860,6 +4004,8 @@ _reg("math_funcs", q_math_funcs, _sql_math_funcs())
 # families.
 _reg("multimodal_video_meta", q_multimodal_video_meta, _sql_multimodal_video_meta())
 _reg("multimodal_video_frames", q_multimodal_video_frames, _sql_multimodal_video_frames())
+_reg("keyword_search_topk", q_keyword_search_topk, _sql_keyword_search_topk())
+_reg("triangle_parts", q_triangle_parts, _sql_triangle_parts())
 
 # Rows-only queries in descending driver-visibility priority (they fill
 # whatever slots remain under the driver's 50-entry window after the

@@ -70,6 +70,12 @@ ADVERSARIAL_LINEITEM = [
     (3, 11, 101, 2, 0.0, 0.0, 0.0, 0.0, "R", "F", None),
     (4, 12, 102, 1, 1e8, 1e12, 1.0, 1.0, "A", "F", _TS),
     (5, 13, 103, 1, -3.0, -50.5, 0.5, 0.5, "R", "O", _TS),
+    # null part key (no edge) + a 3-part order (one real triangle) for
+    # the co-purchase triangle query
+    (6, None, 104, 1, 2.0, 20.0, 0.1, 0.0, "A", "F", _TS),
+    (7, 20, 105, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", _TS),
+    (7, 21, 106, 2, 1.0, 10.0, 0.0, 0.0, "N", "O", _TS),
+    (7, 22, 107, 3, 1.0, 10.0, 0.0, 0.0, "N", "O", _TS),
 ]
 
 DOC_QUERIES = [
@@ -96,6 +102,7 @@ DOC_QUERIES = [
     "mixture_sample_temp",
     "dataset_shard_order",
     "text_normalize_stats",
+    "keyword_search_topk",
 ]
 EVENT_QUERIES = [
     "json_funcs",
@@ -174,7 +181,7 @@ def test_lineitem_queries_survive_adversarial_rows(spark, lineitem_dir):
         spark,
         lineitem_dir,
         "lineitem",
-        ["pricing_summary", "math_funcs", "stats_agg"],
+        ["pricing_summary", "math_funcs", "stats_agg", "triangle_parts"],
     )
     assert not bad, bad
 

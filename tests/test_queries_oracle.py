@@ -70,6 +70,9 @@ def test_registry_driver_window_covers_value_exact():
             # video twins: the multimodal meta family is already
             # driver-covered by the in-window image/audio twins
             "multimodal_video_meta", "multimodal_video_frames",
+            # late-r4 additions past window capacity: repo-harness
+            # value-exact at both SFs (search + graph-triangle shapes)
+            "keyword_search_topk", "triangle_parts",
         }, overflow
 
 
