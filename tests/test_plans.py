@@ -280,3 +280,32 @@ def test_text_normalize_one_arrow_crossing_no_shuffle(spark):
     n_py = sum(plan.count(p) for p in ("ArrowEvalPython", "BatchEvalPython"))
     assert n_py == 1, plan
     assert "BatchEvalPython" not in plan  # Arrow-batched, never pickled rows
+
+
+def test_keyword_search_filters_before_shuffle_topk_no_sort(spark):
+    """The query-term filter must land on the exploded token stream
+    map-side (shuffled postings = |q| terms only, not the corpus), and
+    the final top-k must be TakeOrderedAndProject, not a global sort."""
+    from engine.queries import q_keyword_search_topk
+
+    plan = _plan(q_keyword_search_topk(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+    # tree prints top-down, so "below every exchange" = textually AFTER
+    # the last hash exchange and BEFORE its child Generate
+    last_ex = plan.rfind("Exchange hashpartitioning")
+    f = plan.find("Filter term")
+    g = plan.find("Generate")
+    assert last_ex < f < g, plan
+
+
+def test_triangle_parts_no_cartesian(spark):
+    """Triangle enumeration = hash/merge equi-joins only — a cartesian or
+    nested-loop anywhere means the orientation predicates fell out of the
+    join keys."""
+    from engine.queries import q_triangle_parts
+
+    plan = _plan(q_triangle_parts(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
