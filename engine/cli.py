@@ -64,9 +64,9 @@ def main(argv: list[str] | None = None) -> int:
     ep.add_argument("--pages", required=True)
     ep.add_argument(
         "--pages-format", default="parquet",
-        choices=["parquet", "orc", "json", "csv", "warc", "wet"],
+        choices=["parquet", "orc", "json", "csv", "warc", "wet", "files"],
         help="ingest format for --pages (warc/wet = Common-Crawl "
-        "segment files, engine/warc.py)",
+        "segment files; files = one raw html file per page)",
     )
     ep.add_argument("--runs-root", required=True)
     ep.add_argument("--run-id")
@@ -81,9 +81,9 @@ def main(argv: list[str] | None = None) -> int:
     rp.add_argument("--pages", required=True)
     rp.add_argument(
         "--pages-format", default="parquet",
-        choices=["parquet", "orc", "json", "csv", "warc", "wet"],
+        choices=["parquet", "orc", "json", "csv", "warc", "wet", "files"],
         help="ingest format for --pages (warc/wet = Common-Crawl "
-        "segment files, engine/warc.py)",
+        "segment files; files = one raw html file per page)",
     )
     rp.add_argument("--runs-root", required=True)
     rp.add_argument("--run-id", required=True)
@@ -94,9 +94,9 @@ def main(argv: list[str] | None = None) -> int:
     tp.add_argument("--pages", required=True)
     tp.add_argument(
         "--pages-format", default="parquet",
-        choices=["parquet", "orc", "json", "csv", "warc", "wet"],
+        choices=["parquet", "orc", "json", "csv", "warc", "wet", "files"],
         help="ingest format for --pages (warc/wet = Common-Crawl "
-        "segment files, engine/warc.py)",
+        "segment files; files = one raw html file per page)",
     )
     tp.add_argument("--runs-root", required=True)
     tp.add_argument("--run-id", required=True)
@@ -135,9 +135,9 @@ def main(argv: list[str] | None = None) -> int:
     ip.add_argument("--pages", required=True, help="the new crawl")
     ip.add_argument(
         "--pages-format", default="parquet",
-        choices=["parquet", "orc", "json", "csv", "warc", "wet"],
+        choices=["parquet", "orc", "json", "csv", "warc", "wet", "files"],
         help="ingest format for --pages (warc/wet = Common-Crawl "
-        "segment files, engine/warc.py)",
+        "segment files; files = one raw html file per page)",
     )
     ip.add_argument("--runs-root", required=True)
     ip.add_argument(

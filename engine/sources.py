@@ -155,6 +155,25 @@ def export_pages_warc(
     return [r.asDict() for r in manifest.collect()]
 
 
+def read_pages_files(spark: SparkSession, path: str) -> DataFrame:
+    """Raw-files ingest: one binary file = one page (the scraped-dump
+    shape — a directory tree of .html files). url = the file URI,
+    warc_ts = the file's modification time, html = the raw bytes. Pure
+    binaryFile scan mapped by JVM expressions — no Python, no shuffle;
+    parallelism = file count, exactly like the WARC path."""
+    return (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select(
+            F.col("path").alias("url"),
+            F.col("modificationTime").alias("warc_ts"),
+            F.col("content").alias("html"),
+            F.lit(None).cast("string").alias("text"),
+            F.lit(None).cast("string").alias("lang"),
+        )
+    )
+
+
 _READERS = {
     "parquet": read_pages_parquet,
     "orc": read_pages_orc,
@@ -162,6 +181,7 @@ _READERS = {
     "csv": read_pages_csv,
     "warc": read_pages_warc,
     "wet": read_pages_warc,
+    "files": read_pages_files,
 }
 
 

@@ -66,3 +66,28 @@ def test_csv_roundtrip_binary_exact(spark, pages, tmp_path):
     export_pages_csv(pages, p)
     back = read_pages_csv(spark, p)
     assert _fingerprint(back) == _fingerprint(pages)
+
+
+def test_files_ingest_one_file_per_page(spark, pages, tmp_path):
+    """Raw-files ingest (scraped-dump shape): every file becomes one page
+    row with its bytes intact, through a pure binaryFile scan (no Python,
+    no shuffle)."""
+    import os
+
+    from engine.sources import read_pages, read_pages_files
+
+    d = tmp_path / "dump"
+    os.makedirs(d)
+    want = {}
+    for r in pages.limit(10).collect():
+        name = f"doc{len(want):03d}.html"
+        body = bytes(r["html"] or b"")
+        (d / name).write_bytes(body)
+        want[name] = body
+    back = read_pages_files(spark, str(d))
+    rows = back.collect()
+    assert {os.path.basename(r["url"]): bytes(r["html"]) for r in rows} == want
+    assert all(r["warc_ts"] is not None and r["text"] is None for r in rows)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+    assert read_pages(spark, str(d), "files").count() == 10
