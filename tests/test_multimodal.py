@@ -234,3 +234,81 @@ def test_video_truncated_payload_fails_not_zero_frames():
         )
     )
     assert list(out["status"]) == ["failed"]
+
+
+# -------------------------------------------------------------- properties
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.integers(0, 2**31 - 1),
+    st.integers(1, 24),
+    st.integers(1, 16),
+    st.integers(1, 12),
+    st.integers(1, 6000),
+)
+def test_property_codecs_roundtrip(mid, w, h, nf, fps):
+    """Every (media_id, dims, frames, rate) round-trips through all three
+    fake codecs: sniffed meta equals the encode parameters and the decoded
+    payload length matches the header's promise."""
+    from engine.multimodal import (
+        decode_audio_fake,
+        decode_image_fake,
+        decode_video_fake,
+        encode_fake_audio,
+        encode_fake_image,
+        encode_fake_video,
+        sniff_audio_meta,
+        sniff_image_meta,
+        sniff_video_meta,
+    )
+
+    img = encode_fake_image(mid, w, h)
+    m = sniff_image_meta(img)
+    assert (m["width"], m["height"], m["parse_ok"]) == (w, h, True)
+    assert len(decode_image_fake(img)[3]) == w * h * 3
+
+    n_samples = w * h  # reuse as a sample count
+    aud = encode_fake_audio(mid, n_samples)
+    m = sniff_audio_meta(aud)
+    assert (m["n_samples"], m["parse_ok"]) == (n_samples, True)
+    assert len(decode_audio_fake(aud)[2]) == n_samples
+
+    vid = encode_fake_video(mid, w, h, nf, fps)
+    m = sniff_video_meta(vid)
+    assert (m["width"], m["height"], m["n_frames"], m["fps_x100"]) == (
+        w, h, nf, fps,
+    )
+    assert m["duration_ms"] == (nf * 100000) // fps
+    assert len(decode_video_fake(vid)[4]) == w * h * nf
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=64))
+def test_property_sniffers_never_raise_on_garbage(blob):
+    """Arbitrary bytes: sniffers classify, never raise; decoders raise
+    ValueError (the per-row containment boundary), never anything else."""
+    from engine.multimodal import (
+        decode_audio_fake,
+        decode_image_fake,
+        decode_video_fake,
+        sniff_audio_meta,
+        sniff_image_meta,
+        sniff_video_meta,
+    )
+
+    for sniff, decode in (
+        (sniff_image_meta, decode_image_fake),
+        (sniff_audio_meta, decode_audio_fake),
+        (sniff_video_meta, decode_video_fake),
+    ):
+        meta = sniff(blob)
+        assert meta["n_bytes"] == len(blob)
+        if not meta["parse_ok"]:
+            try:
+                decode(blob)
+                raise AssertionError("decode accepted unparseable payload")
+            except ValueError:
+                pass
