@@ -78,6 +78,10 @@ def decode_image_fake(data: bytes) -> tuple[int, int, int, bytes]:
     if not meta["parse_ok"]:
         raise ValueError("not a PPMX payload")
     w, h, c = meta["width"], meta["height"], meta["channels"]
+    if len(data) < 16 + w * h * c:
+        # header promises more pixels than the payload carries — fail the
+        # record (same contract as the audio/video codecs)
+        raise ValueError("truncated PPMX payload")
     return w, h, c, data[16 : 16 + w * h * c]
 
 

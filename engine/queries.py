@@ -2916,6 +2916,11 @@ def q_triangle_parts(spark, sf_dir):
             F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
         )
         .distinct()
+        # NOT checkpointed: the dedup feeds three consumers, but
+        # ReuseExchange already covers the expensive pair shuffle and the
+        # re-run final aggregation is cheap — a lazy localCheckpoint was
+        # MEASURED SLOWER at sf0.1 (11.7/7.2 s vs 8.1/7.0 s plain; the
+        # checkpoint write outweighs the saved recompute)
     )
     e1, e2 = edges.alias("e1"), edges.alias("e2")
     e3 = F.broadcast(edges).alias("e3")

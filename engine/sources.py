@@ -163,6 +163,10 @@ def read_pages_files(spark: SparkSession, path: str) -> DataFrame:
     parallelism = file count, exactly like the WARC path."""
     return (
         spark.read.format("binaryFile")
+        # a scraped dump is a TREE (dump/site/page.html); without this,
+        # binaryFile treats subdirs as partition dirs and silently
+        # ingests zero nested files
+        .option("recursiveFileLookup", "true")
         .load(path)
         .select(
             F.col("path").alias("url"),

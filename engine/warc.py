@@ -140,8 +140,17 @@ def iter_records(buf: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
     """Yield (headers lower-cased, payload) per record. Content-Length
     framing only — payloads may legally contain every delimiter, so
     scanning for separators would be wrong. On a malformed header block
-    the parser re-syncs at the next version line; a payload truncated by
-    the end of the file is dropped (the record never committed)."""
+    or a corrupt Content-Length the parser re-syncs at the next version
+    line so well-formed records after the damage still land. Known
+    trade-off: re-sync is BEST-EFFORT for plain .warc — after a framing
+    corruption, payload bytes embedding a complete well-formed record (a
+    crawled page documenting WARC itself) could commit as a phantom row;
+    the alternative (stop at first damage) silently drops every record
+    after one corrupt digit. The robust boundary for the production
+    format is the GZIP layer: in .warc.gz (the Common-Crawl standard)
+    each record is its own gzip member, and recovery at member
+    boundaries cannot be steered by payload bytes. A payload truncated
+    by the end of the file is dropped (the record never committed)."""
     buf = _inflate(buf)
     pos, n = 0, len(buf)
     while pos < n:

@@ -312,3 +312,27 @@ def test_property_sniffers_never_raise_on_garbage(blob):
                 raise AssertionError("decode accepted unparseable payload")
             except ValueError:
                 pass
+
+
+def test_image_truncated_payload_fails():
+    """Review finding: the image codec had the same silent-short-buffer
+    bug fixed for video — a valid header with a short pixel section must
+    fail the record, and the Spark feature path must emit 'failed'."""
+    import pandas as pd
+    import pytest as _pt
+
+    from engine.multimodal import (
+        decode_image_fake,
+        encode_fake_image,
+        image_feature_batches,
+    )
+
+    full = encode_fake_image(3, 8, 6)
+    with _pt.raises(ValueError, match="truncated"):
+        decode_image_fake(full[:40])
+    out = pd.concat(
+        image_feature_batches(
+            iter([pd.DataFrame({"media_id": [3], "payload": [full[:40]]})])
+        )
+    )
+    assert list(out["status"]) == ["failed"]

@@ -91,3 +91,25 @@ def test_files_ingest_one_file_per_page(spark, pages, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
     assert read_pages(spark, str(d), "files").count() == 10
+
+
+def test_files_ingest_recurses_into_tree(spark, tmp_path):
+    """Review finding: a scraped dump is a TREE — nested files must
+    ingest (binaryFile needs recursiveFileLookup or silently reads only
+    the top level)."""
+    import os
+
+    from engine.sources import read_pages_files
+
+    d = tmp_path / "tree"
+    os.makedirs(d / "site-a")
+    os.makedirs(d / "site-b" / "deep")
+    (d / "top.html").write_bytes(b"<p>top</p>")
+    (d / "site-a" / "p1.html").write_bytes(b"<p>a1</p>")
+    (d / "site-b" / "deep" / "p2.html").write_bytes(b"<p>b2</p>")
+    rows = read_pages_files(spark, str(d)).collect()
+    assert {os.path.basename(r["url"]): bytes(r["html"]) for r in rows} == {
+        "top.html": b"<p>top</p>",
+        "p1.html": b"<p>a1</p>",
+        "p2.html": b"<p>b2</p>",
+    }
