@@ -20,7 +20,7 @@ def entry(spark: SparkSession) -> DataFrame:
     Synthesizes the deterministic tiny `pages(url, warc_ts, html, text, lang)`
     corpus (BASELINE.json input_hint — built in-repo, no external data) and
     runs the fused DOM-tokenize → boilerplate-classify → readability-tiebreak
-    extract stage as one vectorized mapInPandas pass, returning the
+    extract stage as one vectorized mapInArrow pass, returning the
     `extracted` DataFrame (url, text, spans, metrics, status).
     """
     from engine.extract.udf import dedup_latest_crawl, run_extract

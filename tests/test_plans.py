@@ -299,6 +299,18 @@ def test_keyword_search_filters_before_shuffle_topk_no_sort(spark):
     assert last_ex < f < g, plan
 
 
+def test_column_profile_approx_no_expand(spark):
+    """The exact profile pays a k-way Expand for multi-column exact
+    COUNT(DISTINCT); the HLL++ twin must NOT — one scan, one partial+final
+    hash agg over sketch state, no input replication."""
+    from engine.queries import q_column_profile, q_column_profile_approx
+
+    assert "Expand" in _plan(q_column_profile(spark, SF))
+    plan = _plan(q_column_profile_approx(spark, SF))
+    assert "Expand" not in plan, plan
+    assert "Exchange" in plan  # still a distributed partial+final agg
+
+
 def test_triangle_parts_no_cartesian(spark):
     """Triangle enumeration = hash/merge equi-joins only — a cartesian or
     nested-loop anywhere means the orientation predicates fell out of the
@@ -309,3 +321,33 @@ def test_triangle_parts_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_triangle_closing_probe_broadcast_is_gated(spark, monkeypatch):
+    """The closing-probe broadcast must be size-adaptive, not a hard-coded
+    hint (round-4 verdict): below TRIANGLE_BROADCAST_MAX_EDGES the edge
+    list broadcasts (2x measured win), above it the same plan falls back
+    to a shuffle join — and both shapes return identical rows."""
+    import engine.queries as Q
+
+    assert Q.TRIANGLE_BROADCAST_MAX_EDGES >= 1_000_000
+    # kill stats-based auto-broadcast so the explicit hint is the ONLY
+    # possible source of a BroadcastHashJoin — at sf0.001 every table is
+    # under the default threshold and Catalyst would broadcast anyway
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        fast = Q.q_triangle_parts(spark, SF)
+        assert "BroadcastHashJoin" in _plan(fast)
+        rows_fast = fast.collect()
+
+        monkeypatch.setattr(Q, "TRIANGLE_BROADCAST_MAX_EDGES", 0)
+        big = Q.q_triangle_parts(spark, SF)
+        plan_big = _plan(big)
+        # gate open → no hint → no broadcast anywhere: pure shuffle joins
+        assert "BroadcastHashJoin" not in plan_big, plan_big
+        assert "SortMergeJoin" in plan_big, plan_big
+        assert "CartesianProduct" not in plan_big
+        assert big.collect() == rows_fast
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

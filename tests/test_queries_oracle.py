@@ -36,6 +36,7 @@ def test_all_queries_match_oracle(spark):
         "stats_agg_approx",
         "multimodal_image_topk",
         "multimodal_audio_loudest",
+        "column_profile_approx",
     }
 
 
@@ -63,17 +64,21 @@ def test_registry_driver_window_covers_value_exact():
     if len(backed) <= 50:
         assert not overflow, overflow
     else:
-        assert overflow <= {
-            # function batteries: driver-green in committed r2/r3 rows
+        # Round-5 rotation: every overflow member has >=1 committed
+        # driver-green CORRECTNESS row (batteries r1-r3, array/map r1-r4,
+        # image/audio meta r4); the four queries that had NO driver row
+        # (video twins, keyword_search_topk, triangle_parts) must be
+        # IN-window this round.
+        assert overflow == {
             "string_funcs", "math_funcs", "date_funcs", "set_ops",
-            "json_funcs",
-            # video twins: the multimodal meta family is already
-            # driver-covered by the in-window image/audio twins
-            "multimodal_video_meta", "multimodal_video_frames",
-            # late-r4 additions past window capacity: repo-harness
-            # value-exact at both SFs (search + graph-triangle shapes)
-            "keyword_search_topk", "triangle_parts",
+            "json_funcs", "array_funcs", "map_funcs",
+            "multimodal_image_meta", "multimodal_audio_meta",
         }, overflow
+        for must_be_in in (
+            "multimodal_video_meta", "multimodal_video_frames",
+            "keyword_search_topk", "triangle_parts",
+        ):
+            assert must_be_in in names[:50], must_be_in
 
 
 def test_all_query_schemas_scalar(spark):
@@ -90,6 +95,35 @@ def test_all_query_schemas_scalar(spark):
             if isinstance(fld.dataType, (ArrayType, MapType, StructType)):
                 offenders.append((name, fld.name, str(fld.dataType)))
     assert not offenders, offenders
+
+
+def test_harness_rejects_driver_unsafe_oracle_types():
+    """Regression pin for the round-4 hash-fail class: a bare sum(int) in
+    DuckDB is HUGEINT, which crosses Arrow as decimal128(38,0) and lands in
+    the driver's pandas canonicalizer as float64 ("4.0" != "4"). The repo
+    harness must fail such an oracle loudly (it used to pass silently via
+    fetchall's Python ints) — and must accept the repo convention
+    CAST(sum(...) AS BIGINT)."""
+    import duckdb
+
+    from tests.oracle_harness import _unsafe_arrow_types
+
+    con = duckdb.connect()
+    bare = con.execute(
+        "SELECT sum(x) AS s FROM (VALUES (1), (2)) t(x)"
+    ).fetch_arrow_table()
+    assert _unsafe_arrow_types(bare.schema) == [("s", "decimal128(38, 0)")]
+    cast = con.execute(
+        "SELECT CAST(sum(x) AS BIGINT) AS s FROM (VALUES (1), (2)) t(x)"
+    ).fetch_arrow_table()
+    assert _unsafe_arrow_types(cast.schema) == []
+    # the allowlist must still admit every shape the registry emits
+    mixed = con.execute(
+        "SELECT 1::INT a, 1.5::DOUBLE b, 'x' c, true d, DATE '2020-01-01' e, "
+        "TIMESTAMP '2020-01-01 00:00:00' f, [1, 2] g, CAST('ab' AS BLOB) h, "
+        "NULL i"
+    ).fetch_arrow_table()
+    assert _unsafe_arrow_types(mixed.schema) == []
 
 
 def test_ngram_jaccard_survives_short_docs(spark, tmp_path):
@@ -149,6 +183,25 @@ def test_stats_agg_approx_error_bound(spark):
         ):
             e, a = exact[k][e_col], approx[k][a_col]
             assert abs(a - e) <= 0.01 * abs(e), (k, e_col, e, a)
+
+
+def test_column_profile_approx_error_bound(spark):
+    """The HLL++ profile twin: exact null counts must MATCH the exact
+    profile exactly; distinct counts must land within 5% relative (rsd is
+    0.01, so 5% is ~5 sigma of slack)."""
+    from engine.queries import q_column_profile, q_column_profile_approx
+
+    sf = "/root/testdata/sf0.01"
+    exact = {r["column_name"]: r for r in q_column_profile(spark, sf).collect()}
+    approx = {
+        r["column_name"]: r
+        for r in q_column_profile_approx(spark, sf).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for k in exact:
+        assert approx[k]["n_nulls"] == exact[k]["n_nulls"], k
+        e, a = exact[k]["n_distinct"], approx[k]["n_distinct_approx"]
+        assert abs(a - e) <= max(1, 0.05 * e), (k, e, a)
 
 
 def test_approx_distinct_within_5pct(spark):
