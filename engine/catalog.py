@@ -1,0 +1,90 @@
+"""Catalog-table sink seam — the Iceberg-shaped write path.
+
+BASELINE.json's north rule names "Iceberg tables" as the production sink.
+This sandbox ships no Iceberg (or any external V2 catalog) jar, so the
+default sink is the repo's parquet + atomic-manifest protocol
+(engine/jobs/extract_job.py; SURVEY §8 documents the substitution:
+dynamic partition overwrite + atomic pointer flips give the same
+commit/rollback semantics the Iceberg transaction log would). This module
+is the seam that routes the per-wave extracted write through Spark's
+DataFrameWriterV2 (``df.writeTo(table)``) when a catalog table is
+configured — the exact API an Iceberg deployment calls with
+``catalog.db.extracted`` — so dropping a real catalog in is a config
+change, not a code change.
+
+Routing (per wave, idempotent on resume — a re-run wave REPLACES its own
+partitions, never duplicates them):
+
+- table not yet in the catalog → ``writeTo(t).partitionedBy(
+  partition_id).using("parquet").create()`` (Iceberg ignores the
+  provider and writes its own format).
+- table exists, V2 catalog → ``writeTo(t).overwritePartitions()``:
+  dynamic partition replacement committed by the catalog's own
+  transaction mechanism.
+- table exists, but the catalog resolved it to a **v1** table (the
+  built-in session catalog, which is what this sandbox can exercise) →
+  Spark refuses ``overwritePartitions`` ("Cannot write into v1 table"),
+  so fall back to the v1 writer's dynamic INSERT OVERWRITE — the same
+  replace-only-these-partitions semantics through the legacy code path.
+  This fallback is what lets tests/test_catalog.py drive the whole
+  create → wave-write → resume-rewrite cycle end-to-end with no
+  external jar.
+
+Out of scope ON PURPOSE: the manifest's compact/vacuum/export verbs stay
+on the parquet path only. They exist precisely because parquet-on-a-
+filesystem has no transaction log; a configured catalog owns its own
+maintenance (Iceberg rewrite_data_files / expire_snapshots), and routing
+the repo's file-level verbs at a catalog table would corrupt it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
+
+# Session conf naming the fully-qualified sink table (e.g.
+# "iceberg_cat.warehouse.extracted"). Unset/empty → parquet-manifest sink.
+SINK_TABLE_CONF = "spark.graft.sink.table"
+
+
+def configured_sink_table(spark: SparkSession) -> str | None:
+    """The configured catalog sink table, or None for the parquet path."""
+    v = spark.conf.get(SINK_TABLE_CONF, None)
+    return v or None
+
+
+def write_wave_to_table(
+    spark: SparkSession, extracted: DataFrame, table: str
+) -> None:
+    """Write one wave's extracted rows to `table`, replacing exactly the
+    partition_id partitions present in `extracted` (resume-idempotent)."""
+    if not spark.catalog.tableExists(table):
+        (
+            extracted.writeTo(table)
+            .partitionedBy(F.col("partition_id"))
+            .using("parquet")
+            .create()
+        )
+        return
+    try:
+        extracted.writeTo(table).overwritePartitions()
+    except AnalysisException as e:
+        if "v1 table" not in str(e):
+            raise
+        # v1 (session-catalog) fallback: identical dynamic-overwrite
+        # semantics via the legacy writer. insertInto is position-based;
+        # the wave frame's column order is fixed by EXTRACTED_DDL, the
+        # same order create() registered above.
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            extracted.write.mode("overwrite").insertInto(table)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def read_sink_table(spark: SparkSession, table: str) -> DataFrame:
+    """Read back the catalog sink (empty-schema-safe counterpart of the
+    parquet path's explicit-schema read)."""
+    return spark.table(table)

@@ -183,6 +183,13 @@ def run_extract_job(
     """
     import shutil
 
+    from engine.catalog import (
+        configured_sink_table,
+        read_sink_table,
+        write_wave_to_table,
+    )
+
+    sink_table = configured_sink_table(spark)
     pending = manifest.pending_partitions()
     done_docs = 0
     waves_run = 0
@@ -233,15 +240,21 @@ def run_extract_job(
             extract_batches_arrow_with_pid,
             schema=EXTRACTED_DDL + ", partition_id int",
         )
-        (
-            extracted.write.mode("overwrite")
-            # dynamic overwrite replaces ONLY the partitions this wave
-            # produced: orphan rows from a crash between write and commit
-            # are rewritten, never duplicated, on resume
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("partition_id")
-            .parquet(manifest.extracted_path)
-        )
+        if sink_table:
+            # Iceberg-shaped path (engine/catalog.py): DataFrameWriterV2
+            # replaces exactly this wave's partitions under the catalog's
+            # own commit protocol
+            write_wave_to_table(spark, extracted, sink_table)
+        else:
+            (
+                extracted.write.mode("overwrite")
+                # dynamic overwrite replaces ONLY the partitions this wave
+                # produced: orphan rows from a crash between write and
+                # commit are rewritten, never duplicated, on resume
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("partition_id")
+                .parquet(manifest.extracted_path)
+            )
         # lineage from the just-written files (counts what was COMMITTED,
         # not what was attempted); partition pruning keeps the read to the
         # wave's own output dirs. A run whose every wave is empty (empty
@@ -251,7 +264,23 @@ def run_extract_job(
         import os as _os
 
         wall_ms = int((time.monotonic() - t0) * 1000)
-        if _os.path.exists(manifest.extracted_path):
+        if sink_table:
+            out = read_sink_table(spark, sink_table).where(
+                F.col("partition_id").isin(wave)
+            )
+            row_hash = F.xxhash64(
+                F.col("url"), F.coalesce(F.col("text"), F.lit(""))
+            )
+            lin_rows = (
+                out.groupBy("partition_id")
+                .agg(
+                    F.count("*").alias("doc_count"),
+                    F.sum(F.coalesce(F.col("n_chars"), F.lit(0))).alias("byte_count"),
+                    _content_checksum(row_hash).alias("checksum"),
+                )
+                .collect()
+            )
+        elif _os.path.exists(manifest.extracted_path):
             # explicit schema: an empty wave may leave the directory with
             # zero data files (only _SUCCESS) — inference would die
             out = spark.read.schema(

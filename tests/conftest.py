@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import pathlib
 import sys
+import tempfile
 
 import pytest
 
@@ -17,6 +18,11 @@ def spark():
     s = (
         SparkSession.builder.master("local[4]")
         .appName("engine-tests")
+        # keep catalog-managed tables (tests/test_catalog.py) out of the
+        # repo tree — spark.sql.warehouse.dir is static, set-at-start-only
+        .config(
+            "spark.sql.warehouse.dir", tempfile.mkdtemp(prefix="spark-wh-")
+        )
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

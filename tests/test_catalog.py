@@ -1,0 +1,102 @@
+"""Catalog-sink seam (engine/catalog.py): when `spark.graft.sink.table`
+names a catalog table, the per-wave extracted write routes through
+DataFrameWriterV2 instead of the parquet-manifest path — create on first
+wave, replace-own-partitions on later ones — and the whole resume cycle
+must hold against the only catalog this sandbox has (the built-in v1
+session catalog, via the documented dynamic-INSERT-OVERWRITE fallback).
+The parquet path's equivalent coverage is tests/test_resume.py."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from engine.catalog import (
+    SINK_TABLE_CONF,
+    configured_sink_table,
+    write_wave_to_table,
+)
+from engine.jobs.extract_job import enqueue, read_lineage, run_extract_job
+from engine.manifest import RunManifest
+from engine.synth import generate_pages
+
+
+@pytest.fixture()
+def sink_table(spark):
+    name = "spark_catalog.default.extracted_catalog_test"
+    spark.conf.set(SINK_TABLE_CONF, name)
+    try:
+        yield name
+    finally:
+        spark.conf.unset(SINK_TABLE_CONF)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_sink_unconfigured_by_default(spark):
+    assert configured_sink_table(spark) is None
+
+
+def test_write_wave_create_then_idempotent_replace(spark, sink_table):
+    df = (
+        spark.range(10)
+        .select(
+            F.concat(F.lit("u"), F.col("id")).alias("url"),
+            (F.col("id") % 2).cast("int").alias("partition_id"),
+        )
+    )
+    write_wave_to_table(spark, df, sink_table)  # create
+    assert spark.table(sink_table).count() == 10
+    # rewrite ONLY partition 0 with fewer rows — partition 1 untouched
+    redo = df.where("partition_id = 0").limit(3)
+    write_wave_to_table(spark, redo, sink_table)
+    counts = {
+        r["partition_id"]: r["count"]
+        for r in spark.table(sink_table).groupBy("partition_id").count().collect()
+    }
+    assert counts == {0: 3, 1: 5}
+    # same wave again → identical state (resume idempotency)
+    write_wave_to_table(spark, redo, sink_table)
+    counts2 = {
+        r["partition_id"]: r["count"]
+        for r in spark.table(sink_table).groupBy("partition_id").count().collect()
+    }
+    assert counts2 == counts
+
+
+def test_kill_and_resume_through_catalog_sink(spark, sink_table, tmp_path):
+    pages_path = str(tmp_path / "pages.parquet")
+    generate_pages(spark, 200, partitions=4).write.parquet(pages_path)
+    pages = spark.read.parquet(pages_path)
+    root = str(tmp_path / "runs")
+    man = enqueue(spark, pages, root, min_partitions=12, run_id="cat-test")
+
+    r1 = run_extract_job(spark, pages, man, wave_size=4, max_waves=2)
+    assert r1["waves_run"] == 2 and not r1["complete"]
+    assert spark.catalog.tableExists(sink_table)
+
+    man2 = RunManifest.load(root, "cat-test")
+    r2 = run_extract_job(spark, pages, man2, wave_size=4)
+    assert r2["complete"]
+
+    out = spark.table(sink_table)
+    assert out.count() == pages.count()
+    assert (
+        out.select("url").distinct().count()
+        == pages.select("url").distinct().count()
+    )
+    # lineage ledger agrees with the catalog table, per partition
+    lin = read_lineage(spark, man2)
+    assert lin.count() == 12
+    lin_counts = {
+        r["partition_id"]: r["doc_count"] for r in lin.collect()
+    }
+    tbl_counts = {
+        r["partition_id"]: r["count"]
+        for r in out.groupBy("partition_id").count().collect()
+    }
+    assert lin_counts == tbl_counts
+
+    # complete run re-runs as a no-op and the table is untouched
+    r3 = run_extract_job(spark, pages, man2, wave_size=4)
+    assert r3["waves_run"] == 0
+    assert spark.table(sink_table).count() == pages.count()
