@@ -280,7 +280,11 @@ def _hw_work(chunk):
         extract_document(h)
 
 
-def time_extract_robust(meta: dict) -> tuple[dict[int, dict], dict[str, float]]:
+def time_extract_robust(
+    meta: dict,
+) -> tuple[
+    dict[int, dict], dict[str, float], dict[str, list[float]], dict[str, list[float]]
+]:
     """Interleaved repeated legs, per-leg MIN throughput — engine AND
     hardware-ceiling legs in the SAME rep loop.
 

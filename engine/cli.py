@@ -68,6 +68,12 @@ def main(argv: list[str] | None = None) -> int:
         help="ingest format for --pages (warc/wet = Common-Crawl "
         "segment files; files = one raw html file per page)",
     )
+    ep.add_argument(
+        "--pages-glob", default="*.htm*",
+        help="filename glob for --pages-format files (scan-time "
+        "pathGlobFilter; default keeps .htm/.html; use '*' to ingest "
+        "every file)",
+    )
     ep.add_argument("--runs-root", required=True)
     ep.add_argument("--run-id")
     ep.add_argument("--target-partition-mb", type=int, default=64)
@@ -85,6 +91,12 @@ def main(argv: list[str] | None = None) -> int:
         help="ingest format for --pages (warc/wet = Common-Crawl "
         "segment files; files = one raw html file per page)",
     )
+    rp.add_argument(
+        "--pages-glob", default="*.htm*",
+        help="filename glob for --pages-format files (scan-time "
+        "pathGlobFilter; default keeps .htm/.html; use '*' to ingest "
+        "every file)",
+    )
     rp.add_argument("--runs-root", required=True)
     rp.add_argument("--run-id", required=True)
     rp.add_argument("--wave-size", type=int, default=8)
@@ -97,6 +109,12 @@ def main(argv: list[str] | None = None) -> int:
         choices=["parquet", "orc", "json", "csv", "warc", "wet", "files"],
         help="ingest format for --pages (warc/wet = Common-Crawl "
         "segment files; files = one raw html file per page)",
+    )
+    tp.add_argument(
+        "--pages-glob", default="*.htm*",
+        help="filename glob for --pages-format files (scan-time "
+        "pathGlobFilter; default keeps .htm/.html; use '*' to ingest "
+        "every file)",
     )
     tp.add_argument("--runs-root", required=True)
     tp.add_argument("--run-id", required=True)
@@ -138,6 +156,12 @@ def main(argv: list[str] | None = None) -> int:
         choices=["parquet", "orc", "json", "csv", "warc", "wet", "files"],
         help="ingest format for --pages (warc/wet = Common-Crawl "
         "segment files; files = one raw html file per page)",
+    )
+    ip.add_argument(
+        "--pages-glob", default="*.htm*",
+        help="filename glob for --pages-format files (scan-time "
+        "pathGlobFilter; default keeps .htm/.html; use '*' to ingest "
+        "every file)",
     )
     ip.add_argument("--runs-root", required=True)
     ip.add_argument(
@@ -229,7 +253,7 @@ def main(argv: list[str] | None = None) -> int:
             )
         )
     elif a.verb == "enqueue":
-        pages = read_pages(spark, a.pages, a.pages_format)
+        pages = read_pages(spark, a.pages, a.pages_format, files_glob=a.pages_glob)
         m = enqueue(
             spark,
             pages,
@@ -249,7 +273,7 @@ def main(argv: list[str] | None = None) -> int:
             )
         )
     elif a.verb == "run":
-        pages = read_pages(spark, a.pages, a.pages_format)
+        pages = read_pages(spark, a.pages, a.pages_format, files_glob=a.pages_glob)
         m = RunManifest.load(a.runs_root, a.run_id)
         res = run_extract_job(
             spark, pages, m, wave_size=a.wave_size, max_waves=a.max_waves
@@ -258,7 +282,7 @@ def main(argv: list[str] | None = None) -> int:
     elif a.verb == "increment":
         from engine.jobs.extract_job import enqueue_increment
 
-        pages = read_pages(spark, a.pages, a.pages_format)
+        pages = read_pages(spark, a.pages, a.pages_format, files_glob=a.pages_glob)
         m, new_pages = enqueue_increment(
             spark,
             pages,
@@ -276,7 +300,7 @@ def main(argv: list[str] | None = None) -> int:
             )
             print(json.dumps(res))
     elif a.verb == "retry":
-        pages = read_pages(spark, a.pages, a.pages_format)
+        pages = read_pages(spark, a.pages, a.pages_format, files_glob=a.pages_glob)
         m = RunManifest.load(a.runs_root, a.run_id)
         print(json.dumps(retry_failed(spark, pages, m)))
     elif a.verb == "dedup-increment":

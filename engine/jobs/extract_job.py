@@ -939,9 +939,13 @@ def vacuum_run(spark: SparkSession, manifest: RunManifest) -> dict:
             f"run {manifest.run_id}: the active extracted directory "
             f"({os.path.basename(manifest.extracted_path)}) is missing — "
             "recover first (point extracted_dir at a surviving "
-            "extracted.gen-* / rename a legacy backup back), then vacuum"
+            "extracted.gen-*; restore legacy backups under a FRESH "
+            "extracted.gen-* name, never the plain 'extracted' name, so "
+            "a concurrent vacuum cannot classify the restored copy as a "
+            "stale generation), then vacuum"
         )
     removed = []
+    skipped = []
     freed = 0
     active = os.path.basename(manifest.extracted_path)
     stale_gens = sorted(
@@ -952,8 +956,27 @@ def vacuum_run(spark: SparkSession, manifest: RunManifest) -> dict:
     if active != "extracted":
         # the REAL crash state of the first compaction (killed between
         # the pointer flip and the old-dir delete) leaves the superseded
-        # table under the plain name "extracted" — expire it too
-        stale_gens.append("extracted")
+        # table under the plain name "extracted" — expire it too. BUT a
+        # plain 'extracted' dir NEWER than the active generation cannot
+        # be that leftover (the generation was written after it): it is
+        # most likely a mid-recovery restore racing this vacuum, so skip
+        # it and tell the operator. (The recovery messages direct
+        # restores to fresh gen-* names; this guard catches copy-based
+        # restores that didn't follow them — a pure rename preserves the
+        # backup's old mtime and is indistinguishable from the crash
+        # leftover, which is exactly why the messages say gen-*.)
+        plain = manifest.dir / "extracted"
+        try:
+            is_newer = plain.exists() and (
+                plain.stat().st_mtime
+                > os.path.getmtime(manifest.extracted_path)
+            )
+        except OSError:
+            is_newer = False
+        if is_newer:
+            skipped.append("extracted")
+        else:
+            stale_gens.append("extracted")
     for rel in ("staged", "staged.tmp", "increment_input",
                 "extracted.pre_compact", "extracted.compact_tmp",
                 *stale_gens):
@@ -970,11 +993,20 @@ def vacuum_run(spark: SparkSession, manifest: RunManifest) -> dict:
             )
             shutil.rmtree(path, ignore_errors=True)
             removed.append(rel)
-    return {
+    out = {
         "run_id": manifest.run_id,
         "removed": removed,
         "freed_bytes": freed,
     }
+    if skipped:
+        out["skipped"] = skipped
+        out["skipped_reason"] = (
+            "plain 'extracted' dir is newer than the active generation — "
+            "looks like an in-flight recovery restore, not a compaction "
+            "leftover; finish the recovery (set_extracted_dir) or delete "
+            "it manually"
+        )
+    return out
 
 
 def compact_run(

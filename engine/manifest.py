@@ -168,13 +168,18 @@ class RunManifest:
         pointing at a recovery artifact like extracted.pre_compact would
         make it vacuum_run's active-vs-stale classification problem (and
         a later vacuum could have deleted the only copy). To recover a
-        legacy backup, rename it to one of the legal names first."""
+        legacy backup, rename it to a FRESH extracted.gen-* name (not the
+        plain 'extracted' name: when the active pointer is a generation,
+        vacuum classifies a plain 'extracted' dir as the first
+        compaction's crash leftover and expires it — restoring under
+        that name races any concurrent vacuum)."""
         import re
 
         if not (name == "extracted" or re.fullmatch(r"extracted\.gen-\d+", name)):
             raise ValueError(
                 f"not a legal extracted dir name: {name!r} (use 'extracted' "
-                "or 'extracted.gen-NNNN'; rename recovery artifacts first)"
+                "or 'extracted.gen-NNNN'; restore recovery artifacts under "
+                "a fresh extracted.gen-* name first)"
             )
         st = self.state()
         st["extracted_dir"] = name

@@ -142,11 +142,20 @@ def export_pages_warc(
         rows = [r for r in rows if valid_page(r)]
         if not rows:
             return
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         ext = ("wet" if wet else "warc") + (".gz" if compress else "")
         fname = os.path.join(path, f"part-{pid:05d}.{ext}")
-        with open(fname, "wb") as f:
+        # write under a task-attempt-unique temp name and os.replace()
+        # into place: a speculative/zombie duplicate attempt writing the
+        # final path directly could interleave bytes into a corrupt
+        # segment — with the atomic rename the last finished attempt
+        # wins with a complete file (same data either way: attempts of
+        # one partition encode identical rows)
+        tmp = f"{fname}.tmp-{ctx.taskAttemptId()}"
+        with open(tmp, "wb") as f:
             f.write(encode_pages(rows, wet=wet, compress=compress))
+        os.replace(tmp, fname)
         yield pd.DataFrame([{"file": fname, "n_records": len(rows)}])
 
     manifest = df.select(*_COLS).mapInPandas(
@@ -155,19 +164,31 @@ def export_pages_warc(
     return [r.asDict() for r in manifest.collect()]
 
 
-def read_pages_files(spark: SparkSession, path: str) -> DataFrame:
+def read_pages_files(
+    spark: SparkSession, path: str, glob: str | None = "*.htm*"
+) -> DataFrame:
     """Raw-files ingest: one binary file = one page (the scraped-dump
     shape — a directory tree of .html files). url = the file URI,
     warc_ts = the file's modification time, html = the raw bytes. Pure
     binaryFile scan mapped by JVM expressions — no Python, no shuffle;
-    parallelism = file count, exactly like the WARC path."""
-    return (
+    parallelism = file count, exactly like the WARC path.
+
+    `glob` filters filenames at the SCAN (pathGlobFilter, file-listing
+    time — non-matching assets are never opened): a real scraped dump is
+    littered with images/css/js that would otherwise become garbage-html
+    pages rows. Default keeps .htm/.html (+ .htmlx etc.); pass None (CLI:
+    --pages-glob '*') to ingest every file."""
+    reader = (
         spark.read.format("binaryFile")
         # a scraped dump is a TREE (dump/site/page.html); without this,
         # binaryFile treats subdirs as partition dirs and silently
         # ingests zero nested files
         .option("recursiveFileLookup", "true")
-        .load(path)
+    )
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return (
+        reader.load(path)
         .select(
             F.col("path").alias("url"),
             F.col("modificationTime").alias("warc_ts"),
@@ -189,8 +210,14 @@ _READERS = {
 }
 
 
-def read_pages(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
-    """Format-dispatched pages ingest (the CLI's --pages-format hook)."""
+def read_pages(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    files_glob: str | None = "*.htm*",
+) -> DataFrame:
+    """Format-dispatched pages ingest (the CLI's --pages-format hook).
+    `files_glob` applies to fmt="files" only (see read_pages_files)."""
     try:
         reader = _READERS[fmt]
     except KeyError:
@@ -199,6 +226,8 @@ def read_pages(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFram
         ) from None
     # called OUTSIDE the try: a KeyError raised inside a reader must not
     # be misreported as an unknown format
+    if fmt == "files":
+        return reader(spark, path, glob=files_glob)
     return reader(spark, path)
 
 

@@ -692,13 +692,32 @@ def test_compact_kill_window_leaves_readable_table(spark, pages, tmp_path):
 
     # (b) crash AFTER the flip, in its REAL shape: the first compaction's
     # superseded table is the PLAIN "extracted" directory (review finding:
-    # a gen-* glob alone would leak it forever)
+    # a gen-* glob alone would leak it forever). In the real crash the
+    # leftover PREDATES the generation that superseded it — backdate the
+    # simulated copy to match (a copytree stamps "now", which is the
+    # restore case tested below, not the crash case)
     stale = os.path.join(str(man.dir), "extracted")
     shutil.copytree(man.extracted_path, stale)
+    t = os.path.getmtime(man.extracted_path) - 60
+    os.utime(stale, (t, t))
     assert fp() == frozen
     res = vacuum_run(spark, man)
     assert "extracted" in res["removed"]
     assert not os.path.exists(stale)
+
+    # a plain "extracted" dir NEWER than the active generation is NOT the
+    # crash leftover — it is an in-flight recovery restore (advice round
+    # 4): vacuum must leave it alone and say why
+    restored = os.path.join(str(man.dir), "extracted")
+    shutil.copytree(man.extracted_path, restored)
+    # copytree preserves the source's mtime (cp -rp); a plain cp -r /
+    # freshly-written restore stamps "now" — that's the detectable case
+    os.utime(restored, None)
+    res = vacuum_run(spark, man)
+    assert "extracted" not in res["removed"]
+    assert res["skipped"] == ["extracted"] and "recovery" in res["skipped_reason"]
+    assert os.path.exists(restored)
+    shutil.rmtree(restored)
 
     # and a superseded *generation* name is expired the same way
     stale_gen = os.path.join(str(man.dir), "extracted.gen-0000")

@@ -113,3 +113,30 @@ def test_files_ingest_recurses_into_tree(spark, tmp_path):
         "p1.html": b"<p>a1</p>",
         "p2.html": b"<p>b2</p>",
     }
+
+
+def test_files_ingest_filters_non_html_assets(spark, tmp_path):
+    """Advice round 4: a real scraped dump carries images/css/js next to
+    the pages — the default glob must keep them out of the pages rows at
+    the scan (they'd flow into extraction as garbage html), while an
+    explicit glob=None ingests everything."""
+    import os
+
+    from engine.sources import read_pages, read_pages_files
+
+    d = tmp_path / "dump"
+    os.makedirs(d / "assets")
+    (d / "page.html").write_bytes(b"<p>page</p>")
+    (d / "old.htm").write_bytes(b"<p>old</p>")
+    (d / "assets" / "logo.png").write_bytes(b"\x89PNG...")
+    (d / "assets" / "site.css").write_bytes(b"body{}")
+    (d / "app.js").write_bytes(b"x=1")
+
+    names = lambda df: {os.path.basename(r["url"]) for r in df.collect()}
+    assert names(read_pages_files(spark, str(d))) == {"page.html", "old.htm"}
+    assert len(names(read_pages_files(spark, str(d), glob=None))) == 5
+    # CLI plumbing: read_pages forwards the glob for fmt="files" only
+    assert names(read_pages(spark, str(d), "files")) == {"page.html", "old.htm"}
+    assert names(read_pages(spark, str(d), "files", files_glob="*.js")) == {
+        "app.js"
+    }

@@ -116,6 +116,11 @@ def test_warc_roundtrip_binary_exact(spark, pages, tmp_path):
     manifest = export_pages_warc(pages, p)
     assert sum(m["n_records"] for m in manifest) == pages.count()
     assert all(m["file"].endswith(".warc.gz") for m in manifest)
+    # atomic-segment protocol (advice round 4): tasks publish via
+    # os.replace from attempt-unique temp names — none may survive
+    import os
+
+    assert not [f for f in os.listdir(p) if ".tmp-" in f]
     back = read_pages_warc(spark, p)
     assert _fingerprint(back) == _fingerprint(pages)
     # and the re-ingested table extracts identically
