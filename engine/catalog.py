@@ -70,7 +70,13 @@ def write_wave_to_table(
     try:
         extracted.writeTo(table).overwritePartitions()
     except AnalysisException as e:
-        if "v1 table" not in str(e):
+        # Spark 4 classes the v1 rejection as _LEGACY_ERROR_TEMP_1012
+        # ("Cannot write into v1 table"); match the condition first
+        # (stable API) with the message substring as a cross-version net
+        if (
+            e.getCondition() != "_LEGACY_ERROR_TEMP_1012"
+            and "v1 table" not in str(e)
+        ):
             raise
         # v1 (session-catalog) fallback: identical dynamic-overwrite
         # semantics via the legacy writer. insertInto is position-based;

@@ -69,10 +69,10 @@ def main(argv: list[str] | None = None) -> int:
         "segment files; files = one raw html file per page)",
     )
     ep.add_argument(
-        "--pages-glob", default="*.htm*",
+        "--pages-glob", default=None,
         help="filename glob for --pages-format files (scan-time "
-        "pathGlobFilter; default keeps .htm/.html; use '*' to ingest "
-        "every file)",
+        "pathGlobFilter; default keeps .htm/.html/.xhtml/.shtml in "
+        "either case; use '*' to ingest every file)",
     )
     ep.add_argument("--runs-root", required=True)
     ep.add_argument("--run-id")
@@ -92,10 +92,10 @@ def main(argv: list[str] | None = None) -> int:
         "segment files; files = one raw html file per page)",
     )
     rp.add_argument(
-        "--pages-glob", default="*.htm*",
+        "--pages-glob", default=None,
         help="filename glob for --pages-format files (scan-time "
-        "pathGlobFilter; default keeps .htm/.html; use '*' to ingest "
-        "every file)",
+        "pathGlobFilter; default keeps .htm/.html/.xhtml/.shtml in "
+        "either case; use '*' to ingest every file)",
     )
     rp.add_argument("--runs-root", required=True)
     rp.add_argument("--run-id", required=True)
@@ -111,10 +111,10 @@ def main(argv: list[str] | None = None) -> int:
         "segment files; files = one raw html file per page)",
     )
     tp.add_argument(
-        "--pages-glob", default="*.htm*",
+        "--pages-glob", default=None,
         help="filename glob for --pages-format files (scan-time "
-        "pathGlobFilter; default keeps .htm/.html; use '*' to ingest "
-        "every file)",
+        "pathGlobFilter; default keeps .htm/.html/.xhtml/.shtml in "
+        "either case; use '*' to ingest every file)",
     )
     tp.add_argument("--runs-root", required=True)
     tp.add_argument("--run-id", required=True)
@@ -158,10 +158,10 @@ def main(argv: list[str] | None = None) -> int:
         "segment files; files = one raw html file per page)",
     )
     ip.add_argument(
-        "--pages-glob", default="*.htm*",
+        "--pages-glob", default=None,
         help="filename glob for --pages-format files (scan-time "
-        "pathGlobFilter; default keeps .htm/.html; use '*' to ingest "
-        "every file)",
+        "pathGlobFilter; default keeps .htm/.html/.xhtml/.shtml in "
+        "either case; use '*' to ingest every file)",
     )
     ip.add_argument("--runs-root", required=True)
     ip.add_argument(
@@ -216,6 +216,14 @@ def main(argv: list[str] | None = None) -> int:
         r for r in a.base_run_ids.split(",") if r.strip()
     ]:
         p.error("--base-run-ids must name at least one completed base run")
+    # --pages-glob is a files-format scan filter; accepting it silently
+    # on other formats would let an operator believe they filtered a
+    # warc/parquet ingest when nothing was applied
+    if (
+        getattr(a, "pages_glob", None) is not None
+        and getattr(a, "pages_format", None) != "files"
+    ):
+        p.error("--pages-glob applies only to --pages-format files")
     if a.verb == "export" and not [
         r for r in a.run_id.split(",") if r.strip()
     ]:
@@ -231,7 +239,7 @@ def main(argv: list[str] | None = None) -> int:
         run_extract_job,
     )
     from engine.manifest import RunManifest
-    from engine.sources import read_pages
+    from engine.sources import DEFAULT_FILES_GLOB, read_pages
 
     if a.verb == "synth":
         from engine.synth import generate_pages
@@ -253,7 +261,7 @@ def main(argv: list[str] | None = None) -> int:
             )
         )
     elif a.verb == "enqueue":
-        pages = read_pages(spark, a.pages, a.pages_format, files_glob=a.pages_glob)
+        pages = read_pages(spark, a.pages, a.pages_format, files_glob=a.pages_glob or DEFAULT_FILES_GLOB)
         m = enqueue(
             spark,
             pages,
@@ -273,7 +281,7 @@ def main(argv: list[str] | None = None) -> int:
             )
         )
     elif a.verb == "run":
-        pages = read_pages(spark, a.pages, a.pages_format, files_glob=a.pages_glob)
+        pages = read_pages(spark, a.pages, a.pages_format, files_glob=a.pages_glob or DEFAULT_FILES_GLOB)
         m = RunManifest.load(a.runs_root, a.run_id)
         res = run_extract_job(
             spark, pages, m, wave_size=a.wave_size, max_waves=a.max_waves
@@ -282,7 +290,7 @@ def main(argv: list[str] | None = None) -> int:
     elif a.verb == "increment":
         from engine.jobs.extract_job import enqueue_increment
 
-        pages = read_pages(spark, a.pages, a.pages_format, files_glob=a.pages_glob)
+        pages = read_pages(spark, a.pages, a.pages_format, files_glob=a.pages_glob or DEFAULT_FILES_GLOB)
         m, new_pages = enqueue_increment(
             spark,
             pages,
@@ -300,7 +308,7 @@ def main(argv: list[str] | None = None) -> int:
             )
             print(json.dumps(res))
     elif a.verb == "retry":
-        pages = read_pages(spark, a.pages, a.pages_format, files_glob=a.pages_glob)
+        pages = read_pages(spark, a.pages, a.pages_format, files_glob=a.pages_glob or DEFAULT_FILES_GLOB)
         m = RunManifest.load(a.runs_root, a.run_id)
         print(json.dumps(retry_failed(spark, pages, m)))
     elif a.verb == "dedup-increment":

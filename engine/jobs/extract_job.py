@@ -265,34 +265,22 @@ def run_extract_job(
 
         wall_ms = int((time.monotonic() - t0) * 1000)
         if sink_table:
-            out = read_sink_table(spark, sink_table).where(
-                F.col("partition_id").isin(wave)
-            )
-            row_hash = F.xxhash64(
-                F.col("url"), F.coalesce(F.col("text"), F.lit(""))
-            )
-            lin_rows = (
-                out.groupBy("partition_id")
-                .agg(
-                    F.count("*").alias("doc_count"),
-                    F.sum(F.coalesce(F.col("n_chars"), F.lit(0))).alias("byte_count"),
-                    _content_checksum(row_hash).alias("checksum"),
-                )
-                .collect()
-            )
+            out = read_sink_table(spark, sink_table)
         elif _os.path.exists(manifest.extracted_path):
             # explicit schema: an empty wave may leave the directory with
             # zero data files (only _SUCCESS) — inference would die
             out = spark.read.schema(
                 EXTRACTED_DDL + ", partition_id int"
-            ).parquet(manifest.extracted_path).where(
-                F.col("partition_id").isin(wave)
-            )
+            ).parquet(manifest.extracted_path)
+        else:
+            out = None
+        if out is not None:
             row_hash = F.xxhash64(
                 F.col("url"), F.coalesce(F.col("text"), F.lit(""))
             )
             lin_rows = (
-                out.groupBy("partition_id")
+                out.where(F.col("partition_id").isin(wave))
+                .groupBy("partition_id")
                 .agg(
                     F.count("*").alias("doc_count"),
                     F.sum(F.coalesce(F.col("n_chars"), F.lit(0))).alias("byte_count"),
@@ -369,7 +357,15 @@ def _lineage_committed_docs(spark: SparkSession, manifest: RunManifest) -> int:
 
 def read_extracted(spark: SparkSession, manifest: RunManifest) -> DataFrame:
     """Committed view: only partitions the manifest says are committed.
-    A run with no commits yet reads as an empty table, not an error."""
+    A run with no commits yet reads as an empty table, not an error.
+
+    When a catalog sink is configured (engine/catalog.py), the base table
+    IS the catalog table, so every downstream verb (retry, export, stats,
+    rollup, increment) reads it from there; the retry overlay dirs stay
+    parquet side-cars under the manifest dir either way. One configured
+    table serves one corpus's run lineage — the wave writes replace by
+    partition_id, so pointing two different corpora at the same table is
+    an operator error, exactly as it would be for one extracted/ dir."""
     import os
 
     def _empty_or_raise(reason: str) -> DataFrame:
@@ -395,6 +391,18 @@ def read_extracted(spark: SparkSession, manifest: RunManifest) -> DataFrame:
         return spark.createDataFrame(
             [], schema=EXTRACTED_DDL + ", partition_id int"
         )
+    from engine.catalog import configured_sink_table, read_sink_table
+
+    sink_table = configured_sink_table(spark)
+    if sink_table:
+        if not spark.catalog.tableExists(sink_table):
+            # same data-loss guard as the parquet path: committed lineage
+            # with no readable base must surface, not read as empty
+            return _empty_or_raise(f"catalog table {sink_table} missing")
+        df = read_sink_table(spark, sink_table)
+        if len(committed) == manifest.state()["n_partitions"]:
+            return df
+        return df.where(F.col("partition_id").isin(committed))
     if not os.path.exists(manifest.extracted_path):
         return _empty_or_raise("extracted/ directory missing")
     from pyspark.errors import AnalysisException
@@ -931,6 +939,17 @@ def vacuum_run(spark: SparkSession, manifest: RunManifest) -> dict:
             "vacuum only completed runs (these artifacts are its resume "
             "sources)"
         )
+    from engine.catalog import configured_sink_table
+
+    if configured_sink_table(spark):
+        # catalog-sink run: the base table has no extracted/ dir or
+        # generations here (snapshot expiry is the catalog's job) — only
+        # the parquet side-car artifacts below are ours to reclaim
+        return _vacuum_artifacts(
+            manifest, ("staged", "staged.tmp", "increment_input",
+                       "extracted.pre_compact", "extracted.compact_tmp"),
+            active=None,
+        )
     if not os.path.exists(manifest.extracted_path):
         # the pointer names a missing directory (manual damage, or a
         # legacy two-rename crash) — the data may survive ONLY in a
@@ -944,9 +963,7 @@ def vacuum_run(spark: SparkSession, manifest: RunManifest) -> dict:
             "a concurrent vacuum cannot classify the restored copy as a "
             "stale generation), then vacuum"
         )
-    removed = []
     skipped = []
-    freed = 0
     active = os.path.basename(manifest.extracted_path)
     stale_gens = sorted(
         p.name
@@ -957,19 +974,21 @@ def vacuum_run(spark: SparkSession, manifest: RunManifest) -> dict:
         # the REAL crash state of the first compaction (killed between
         # the pointer flip and the old-dir delete) leaves the superseded
         # table under the plain name "extracted" — expire it too. BUT a
-        # plain 'extracted' dir NEWER than the active generation cannot
-        # be that leftover (the generation was written after it): it is
-        # most likely a mid-recovery restore racing this vacuum, so skip
-        # it and tell the operator. (The recovery messages direct
-        # restores to fresh gen-* names; this guard catches copy-based
-        # restores that didn't follow them — a pure rename preserves the
-        # backup's old mtime and is indistinguishable from the crash
-        # leftover, which is exactly why the messages say gen-*.)
+        # plain 'extracted' dir as-new-or-newer than the active
+        # generation cannot be that leftover (the generation was written
+        # strictly after it): it is most likely a mid-recovery restore
+        # racing this vacuum, so skip it and tell the operator. Ties
+        # count as "newer" — ambiguity must not delete data. This guard
+        # only catches restores with fresh mtimes (a freshly-written
+        # copy, cp -r without -p); mtime-PRESERVING restores (cp -a,
+        # rsync -a, copytree, a bare rename) are indistinguishable from
+        # the crash leftover by construction — which is exactly why every
+        # recovery message directs restores to fresh gen-* names instead.
         plain = manifest.dir / "extracted"
         try:
             is_newer = plain.exists() and (
                 plain.stat().st_mtime
-                > os.path.getmtime(manifest.extracted_path)
+                >= os.path.getmtime(manifest.extracted_path)
             )
         except OSError:
             is_newer = False
@@ -977,10 +996,28 @@ def vacuum_run(spark: SparkSession, manifest: RunManifest) -> dict:
             skipped.append("extracted")
         else:
             stale_gens.append("extracted")
-    for rel in ("staged", "staged.tmp", "increment_input",
-                "extracted.pre_compact", "extracted.compact_tmp",
-                *stale_gens):
-        if rel == active:
+    return _vacuum_artifacts(
+        manifest,
+        ("staged", "staged.tmp", "increment_input",
+         "extracted.pre_compact", "extracted.compact_tmp", *stale_gens),
+        active=active,
+        skipped=skipped,
+    )
+
+
+def _vacuum_artifacts(
+    manifest: RunManifest,
+    rels: tuple,
+    active: str | None,
+    skipped: list | None = None,
+) -> dict:
+    import os
+    import shutil
+
+    removed = []
+    freed = 0
+    for rel in rels:
+        if active is not None and rel == active:
             # never delete the pointer's target, whatever it is named
             # (defense in depth behind set_extracted_dir's name guard)
             continue
@@ -1001,10 +1038,10 @@ def vacuum_run(spark: SparkSession, manifest: RunManifest) -> dict:
     if skipped:
         out["skipped"] = skipped
         out["skipped_reason"] = (
-            "plain 'extracted' dir is newer than the active generation — "
-            "looks like an in-flight recovery restore, not a compaction "
-            "leftover; finish the recovery (set_extracted_dir) or delete "
-            "it manually"
+            "plain 'extracted' dir is at least as new as the active "
+            "generation — looks like an in-flight recovery restore, not "
+            "a compaction leftover; finish the recovery "
+            "(set_extracted_dir) or delete it manually"
         )
     return out
 
@@ -1039,6 +1076,15 @@ def compact_run(
     import os
     import shutil
 
+    from engine.catalog import configured_sink_table
+
+    sink = configured_sink_table(spark)
+    if sink:
+        raise RuntimeError(
+            f"run {manifest.run_id} writes to catalog table {sink} — "
+            "file compaction belongs to the catalog (Iceberg "
+            "rewrite_data_files or equivalent), not the parquet-path verb"
+        )
     if not manifest.is_complete():
         raise RuntimeError(
             f"run {manifest.run_id} has pending partitions — compact only "

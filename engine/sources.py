@@ -151,8 +151,14 @@ def export_pages_warc(
         # final path directly could interleave bytes into a corrupt
         # segment — with the atomic rename the last finished attempt
         # wins with a complete file (same data either way: attempts of
-        # one partition encode identical rows)
-        tmp = f"{fname}.tmp-{ctx.taskAttemptId()}"
+        # one partition encode identical rows). The temp name is
+        # DOT-PREFIXED so an orphan from a killed attempt is invisible
+        # to Spark's file listing (read_pages_warc scans the whole dir;
+        # a visible half-written .tmp would be re-ingested as a corrupt
+        # segment or a duplicate partition)
+        tmp = os.path.join(
+            path, f".part-{pid:05d}.{ext}.tmp-{ctx.taskAttemptId()}"
+        )
         with open(tmp, "wb") as f:
             f.write(encode_pages(rows, wet=wet, compress=compress))
         os.replace(tmp, fname)
@@ -164,8 +170,15 @@ def export_pages_warc(
     return [r.asDict() for r in manifest.collect()]
 
 
+# Default scan filter for raw-files ingest: the page-bearing extensions
+# of a real scraped dump, both cases (Hadoop glob has no case-insensitive
+# match; old IIS dumps shout .HTML). Brace alternation is expanded by the
+# same GlobFilter pathGlobFilter uses.
+DEFAULT_FILES_GLOB = "*.{htm,html,xhtml,shtml,HTM,HTML,XHTML,SHTML}"
+
+
 def read_pages_files(
-    spark: SparkSession, path: str, glob: str | None = "*.htm*"
+    spark: SparkSession, path: str, glob: str | None = DEFAULT_FILES_GLOB
 ) -> DataFrame:
     """Raw-files ingest: one binary file = one page (the scraped-dump
     shape — a directory tree of .html files). url = the file URI,
@@ -176,8 +189,8 @@ def read_pages_files(
     `glob` filters filenames at the SCAN (pathGlobFilter, file-listing
     time — non-matching assets are never opened): a real scraped dump is
     littered with images/css/js that would otherwise become garbage-html
-    pages rows. Default keeps .htm/.html (+ .htmlx etc.); pass None (CLI:
-    --pages-glob '*') to ingest every file."""
+    pages rows. Default keeps .htm/.html/.xhtml/.shtml in either case;
+    pass None (CLI: --pages-glob '*') to ingest every file."""
     reader = (
         spark.read.format("binaryFile")
         # a scraped dump is a TREE (dump/site/page.html); without this,
@@ -214,7 +227,7 @@ def read_pages(
     spark: SparkSession,
     path: str,
     fmt: str = "parquet",
-    files_glob: str | None = "*.htm*",
+    files_glob: str | None = DEFAULT_FILES_GLOB,
 ) -> DataFrame:
     """Format-dispatched pages ingest (the CLI's --pages-format hook).
     `files_glob` applies to fmt="files" only (see read_pages_files)."""

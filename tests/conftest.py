@@ -4,7 +4,6 @@ from __future__ import annotations
 
 import pathlib
 import sys
-import tempfile
 
 import pytest
 
@@ -12,16 +11,18 @@ sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     from pyspark.sql import SparkSession
 
     s = (
         SparkSession.builder.master("local[4]")
         .appName("engine-tests")
         # keep catalog-managed tables (tests/test_catalog.py) out of the
-        # repo tree — spark.sql.warehouse.dir is static, set-at-start-only
+        # repo tree — spark.sql.warehouse.dir is static, set-at-start-only;
+        # pytest's tmp factory garbage-collects old sessions' dirs
         .config(
-            "spark.sql.warehouse.dir", tempfile.mkdtemp(prefix="spark-wh-")
+            "spark.sql.warehouse.dir",
+            str(tmp_path_factory.mktemp("spark-wh")),
         )
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.adaptive.enabled", "true")

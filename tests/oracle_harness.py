@@ -17,6 +17,14 @@ harness green). To make the class un-reintroducible, any oracle result
 column whose Arrow type is outside the driver-safe allowlist (ints,
 floats, strings, bool, date/timestamp, binary, lists thereof) fails the
 query here with the offending type named.
+
+Nullable ints are deliberately NOT flagged (reviewed round 5): one might
+fear int64-with-null → pandas float64 re-introduces the "4.0" vs "4"
+split, but that conversion happens to BOTH sides or NEITHER (Spark's
+toPandas does the same), unlike HUGEINT which only the oracle side can
+produce — and empirically, many queries whose oracle results carry null
+ints (cube_events, asof_join, window_analytics, grouping_sets_events)
+have committed driver-green rows in CORRECTNESS_r01–r04.
 """
 
 from __future__ import annotations

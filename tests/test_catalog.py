@@ -100,3 +100,61 @@ def test_kill_and_resume_through_catalog_sink(spark, sink_table, tmp_path):
     r3 = run_extract_job(spark, pages, man2, wave_size=4)
     assert r3["waves_run"] == 0
     assert spark.table(sink_table).count() == pages.count()
+
+    # --- downstream verbs must read the BASE from the catalog table
+    # (round-5 review finding: the seam was write-only, so every read
+    # verb raised a bogus data-loss error on a healthy catalog run) ---
+    import os
+
+    from engine.jobs.extract_job import (
+        compact_run,
+        export_run,
+        read_extracted,
+        retry_failed,
+        rollup_metrics,
+        vacuum_run,
+    )
+
+    assert not os.path.exists(man2.extracted_path)  # nothing on disk...
+    base = read_extracted(spark, man2)  # ...yet the committed view reads
+    assert base.count() == pages.count()
+
+    roll = rollup_metrics(spark, man2)
+    # the rollup's grand-total row counts every committed doc
+    assert roll.agg(F.max("docs")).collect()[0][0] == pages.count()
+
+    dest = str(tmp_path / "exported")
+    export_run(spark, man2, dest)
+    # export publishes the current view: one row per url (latest attempt)
+    assert (
+        spark.read.parquet(dest).count()
+        == pages.select("url").distinct().count()
+    )
+
+    # retry overlays stay parquet side-cars over the table base
+    assert retry_failed(spark, pages, man2)["retried"] >= 0
+
+    # file compaction belongs to the catalog, not the parquet verb
+    with pytest.raises(RuntimeError, match="catalog"):
+        compact_run(spark, man2)
+    # vacuum reclaims only the parquet side-car artifacts
+    v = vacuum_run(spark, man2)
+    assert "extracted" not in v["removed"]
+    assert spark.table(sink_table).count() == pages.count()
+
+
+def test_read_extracted_raises_when_catalog_table_lost(spark, sink_table, tmp_path):
+    """The parquet path's data-loss guard must hold for the table path:
+    committed lineage + vanished table => loud error, not an empty read."""
+    pages_path = str(tmp_path / "pages.parquet")
+    generate_pages(spark, 60, partitions=2).write.parquet(pages_path)
+    pages = spark.read.parquet(pages_path)
+    root = str(tmp_path / "runs")
+    man = enqueue(spark, pages, root, min_partitions=8, run_id="cat-lost")
+    run_extract_job(spark, pages, man, wave_size=8)
+
+    from engine.jobs.extract_job import read_extracted
+
+    spark.sql(f"DROP TABLE {sink_table}")
+    with pytest.raises(RuntimeError, match="unreadable"):
+        read_extracted(spark, man).count()

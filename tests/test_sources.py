@@ -128,15 +128,21 @@ def test_files_ingest_filters_non_html_assets(spark, tmp_path):
     os.makedirs(d / "assets")
     (d / "page.html").write_bytes(b"<p>page</p>")
     (d / "old.htm").write_bytes(b"<p>old</p>")
+    (d / "LOUD.HTML").write_bytes(b"<p>iis</p>")
+    (d / "x.xhtml").write_bytes(b"<p>x</p>")
     (d / "assets" / "logo.png").write_bytes(b"\x89PNG...")
     (d / "assets" / "site.css").write_bytes(b"body{}")
     (d / "app.js").write_bytes(b"x=1")
 
     names = lambda df: {os.path.basename(r["url"]) for r in df.collect()}
-    assert names(read_pages_files(spark, str(d))) == {"page.html", "old.htm"}
-    assert len(names(read_pages_files(spark, str(d), glob=None))) == 5
+    assert names(read_pages_files(spark, str(d))) == {
+        "page.html", "old.htm", "LOUD.HTML", "x.xhtml"
+    }
+    assert len(names(read_pages_files(spark, str(d), glob=None))) == 7
     # CLI plumbing: read_pages forwards the glob for fmt="files" only
-    assert names(read_pages(spark, str(d), "files")) == {"page.html", "old.htm"}
+    assert names(read_pages(spark, str(d), "files")) == {
+        "page.html", "old.htm", "LOUD.HTML", "x.xhtml"
+    }
     assert names(read_pages(spark, str(d), "files", files_glob="*.js")) == {
         "app.js"
     }

@@ -121,6 +121,14 @@ def test_warc_roundtrip_binary_exact(spark, pages, tmp_path):
     import os
 
     assert not [f for f in os.listdir(p) if ".tmp-" in f]
+    # and an ORPHAN temp from a killed attempt must be invisible to
+    # re-ingest (dot-prefixed → skipped by Spark's file listing), not
+    # read back as a corrupt/duplicate segment
+    orphan = os.path.join(p, ".part-99999.warc.gz.tmp-123")
+    with open(orphan, "wb") as f:
+        f.write(b"\x1f\x8b truncated-garbage")
+    assert read_pages_warc(spark, p).count() == pages.count()
+    os.remove(orphan)
     back = read_pages_warc(spark, p)
     assert _fingerprint(back) == _fingerprint(pages)
     # and the re-ingested table extracts identically
