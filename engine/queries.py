@@ -2781,6 +2781,50 @@ def _sql_mixture_sample_temp():
     """
 
 
+def q_dataset_split(spark, sf_dir):
+    """Deterministic train/val/test assignment — the split every training
+    pipeline pins before anything else: each doc hashes to a bucket in
+    [0,100) via md5(text) (the registry's mixture-bucket convention:
+    engine-independent, rerun-stable, content-keyed so re-crawled copies
+    of a doc land in the SAME split and never leak train→test), bucket
+    <90 → train, <95 → val, else test. Output: docs + chars per
+    (source, split) — the mixture table a run report publishes.
+
+    Scale: split assignment is pure map-side JVM arithmetic; the only
+    shuffle is the (source, split) groupBy over partial aggregates
+    (3x#sources rows per partition). Re-splitting with different
+    fractions moves no data — the bucket is a function of content alone.
+    """
+    d = _t(spark, sf_dir, "documents")
+    h = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    bucket = (
+        F.ascii(F.substring(h, 1, 1)) * 31 + F.ascii(F.substring(h, 2, 1))
+    ) % 100
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return d.groupBy("source", split.alias("split")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.coalesce(F.col("n_chars"), F.lit(0))).alias("sum_chars"),
+    )
+
+
+def _sql_dataset_split():
+    return r"""
+    SELECT source,
+           CASE WHEN (ascii(substr(md5(coalesce(text,'')),1,1))*31
+                      + ascii(substr(md5(coalesce(text,'')),2,1))) % 100 < 90
+                THEN 'train'
+                WHEN (ascii(substr(md5(coalesce(text,'')),1,1))*31
+                      + ascii(substr(md5(coalesce(text,'')),2,1))) % 100 < 95
+                THEN 'val' ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(coalesce(n_chars, 0)) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY 1, 2
+    """
+
+
 def q_dataset_shard_order(spark, sf_dir):
     """Deterministic training order — the pipeline's last stage: every doc
     gets a content-independent pseudo-random position as (shard,
@@ -3977,7 +4021,6 @@ _reg(
 _reg("pivot_events", q_pivot_events, _sql_pivot_events())
 _reg("correlated_above_avg", q_correlated_above_avg, _sql_correlated_above_avg())
 _reg("approx_distinct", q_approx_distinct, None)
-_reg("time_window_agg", q_time_window_agg, _sql_time_window_agg())
 _reg("json_roundtrip", q_json_roundtrip, _sql_json_roundtrip())
 _reg("dedup_exact", q_dedup_exact, _sql_dedup_exact())
 _reg(
@@ -4024,6 +4067,7 @@ _reg("passage_dedup", q_passage_dedup, _sql_passage_dedup())
 _reg("incremental_dedup", q_incremental_dedup, _sql_incremental_dedup())
 _reg("mixture_sample", q_mixture_sample, _sql_mixture_sample())
 _reg("mixture_sample_temp", q_mixture_sample_temp, _sql_mixture_sample_temp())
+_reg("dataset_split", q_dataset_split, _sql_dataset_split())
 _reg("dataset_shard_order", q_dataset_shard_order, _sql_dataset_shard_order())
 _reg("sequence_pack", q_sequence_pack, _sql_sequence_pack())
 _reg("pagerank_txn_graph", q_pagerank_txn_graph, _sql_pagerank_txn_graph())
@@ -4062,6 +4106,9 @@ _reg("string_funcs", q_string_funcs, _sql_string_funcs())
 _reg("math_funcs", q_math_funcs, _sql_math_funcs())
 _reg("array_funcs", q_array_funcs, _sql_array_funcs())
 _reg("map_funcs", q_map_funcs, _sql_map_funcs())
+# displaced by the r5 dataset_split addition so the NEW op earns its
+# driver row immediately; time_window_agg holds green rows in r1-r4
+_reg("time_window_agg", q_time_window_agg, _sql_time_window_agg())
 _reg(
     "multimodal_image_meta",
     q_multimodal_image_meta,

@@ -100,6 +100,7 @@ DOC_QUERIES = [
     "pii_redact_stats",
     "tfidf_topk_terms",
     "mixture_sample_temp",
+    "dataset_split",
     "dataset_shard_order",
     "text_normalize_stats",
     "keyword_search_topk",
