@@ -112,6 +112,7 @@ HEADLINE = [
     "multimodal_video_meta",
     "multimodal_video_frames",
     "mixture_sample_temp",
+    "dataset_split",
     "dataset_shard_order",
     "pii_redact_stats",
     "keyword_search_topk",
@@ -125,6 +126,7 @@ HEADLINE = [
     "sequence_pack",
     "pagerank_txn_graph",
     "column_profile",
+    "column_profile_approx",
     "token_count",
     "lang_id_heuristic",
     "token_correction_stats",
