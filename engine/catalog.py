@@ -30,11 +30,30 @@ partitions, never duplicates them):
   create → wave-write → resume-rewrite cycle end-to-end with no
   external jar.
 
-Out of scope ON PURPOSE: the manifest's compact/vacuum/export verbs stay
-on the parquet path only. They exist precisely because parquet-on-a-
-filesystem has no transaction log; a configured catalog owns its own
-maintenance (Iceberg rewrite_data_files / expire_snapshots), and routing
-the repo's file-level verbs at a catalog table would corrupt it.
+Cross-process CLI use (verified end-to-end in-sandbox): the default
+in-memory session catalog loses table METADATA at process exit, so
+multi-verb CLI flows (run in one process, stats/export in another) need
+the bundled derby-backed hive catalog::
+
+    python -m engine.cli \
+      --conf spark.sql.catalogImplementation=hive \
+      --conf spark.sql.warehouse.dir=/data/wh \
+      --conf spark.graft.sink.table=spark_catalog.default.extracted \
+      run --pages ... --runs-root ... --run-id r1
+    # then stats/export/retry with the same --conf set reads the table
+
+A real deployment instead configures its Iceberg/JDBC catalog, which is
+durable by nature — the seam code is identical.
+
+Reads route too (round-5 review fix): read_extracted pulls the base from
+the configured table, so retry / export / stats / rollup / increment all
+work against a catalog-sink run; retry overlays stay parquet side-cars
+under the manifest dir. Out of scope ON PURPOSE: the manifest's
+compact/vacuum TABLE-maintenance duties. They exist precisely because
+parquet-on-a-filesystem has no transaction log; a configured catalog owns
+its own maintenance (Iceberg rewrite_data_files / expire_snapshots), so
+compact_run refuses catalog runs and vacuum_run reclaims only the
+parquet side-car artifacts.
 """
 
 from __future__ import annotations

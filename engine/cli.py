@@ -35,20 +35,35 @@ import json
 import sys
 
 
-def _spark(cores: str = "*"):
+def _spark(cores: str = "*", conf: list[str] | None = None):
     from pyspark.sql import SparkSession
 
-    return (
+    b = (
         SparkSession.builder.appName("engine-cli")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .getOrCreate()
     )
+    # --conf k=v passthrough (spark-submit parity for the plain-python
+    # entry): how an operator points the engine at a catalog sink, e.g.
+    # --conf spark.graft.sink.table=cat.db.extracted
+    for kv in conf or []:
+        k, sep, v = kv.partition("=")
+        if not sep or not k:
+            raise SystemExit(f"--conf expects key=value, got {kv!r}")
+        b = b.config(k, v)
+    return b.getOrCreate()
 
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="engine", description=__doc__)
+    p.add_argument(
+        "--conf", action="append", default=[], metavar="KEY=VALUE",
+        help="extra Spark session conf (repeatable; spark-submit parity "
+        "for the plain-python entry — e.g. --conf "
+        "spark.graft.sink.table=cat.db.extracted routes the extracted "
+        "sink through the configured catalog table)",
+    )
     sub = p.add_subparsers(dest="verb", required=True)
 
     sp = sub.add_parser("synth")
@@ -228,7 +243,7 @@ def main(argv: list[str] | None = None) -> int:
         r for r in a.run_id.split(",") if r.strip()
     ]:
         p.error("--run-id must name at least one run")
-    spark = _spark()
+    spark = _spark(conf=a.conf)
     spark.sparkContext.setLogLevel("WARN")
 
     from engine.jobs.extract_job import (
