@@ -45,10 +45,17 @@ the bundled derby-backed hive catalog::
 A real deployment instead configures its Iceberg/JDBC catalog, which is
 durable by nature — the seam code is identical.
 
-Reads route too (round-5 review fix): read_extracted pulls the base from
-the configured table, so retry / export / stats / rollup / increment all
-work against a catalog-sink run; retry overlays stay parquet side-cars
-under the manifest dir. Out of scope ON PURPOSE: the manifest's
+The conf matters only at ENQUEUE time: the chosen table is recorded in
+the run's manifest (`RunManifest.sink_table`) and every later verb —
+run, retry, export, stats, rollup, increment — routes from that record,
+so reads need no live conf, a parquet run can never be silently re-routed
+to somebody's table by a session-wide conf, and a run refuses to WRITE
+anywhere but where its manifest says its data lives (strict check in
+run_extract_job). Because every run partitions by pmod(hash(url), n),
+two runs must never share one table — enqueue_increment refuses a sink
+table any base run records (the increment gets its own table and
+read_extracted_across unions the runs from their manifests). Retry
+overlays stay parquet side-cars under the manifest dir. Out of scope ON PURPOSE: the manifest's
 compact/vacuum TABLE-maintenance duties. They exist precisely because
 parquet-on-a-filesystem has no transaction log; a configured catalog owns
 its own maintenance (Iceberg rewrite_data_files / expire_snapshots), so

@@ -138,9 +138,40 @@ def enqueue(
     ).collect()[0]
     total_bytes = int(sized["b"] or 0)
     n = plan_partitions(total_bytes, target_partition_bytes, min_partitions)
+    from engine.catalog import configured_sink_table
+
     return RunManifest.create(
-        runs_root, n, total_bytes, run_id=run_id, force=force
+        runs_root, n, total_bytes, run_id=run_id, force=force,
+        sink_table=configured_sink_table(spark),
     )
+
+
+def _run_sink_table(
+    spark: SparkSession, manifest: RunManifest, strict: bool = False
+) -> str | None:
+    """The run's sink table — from the MANIFEST, not the live session conf
+    (round-5 review: a session-wide conf silently re-routed reads of
+    parquet runs to an unrelated table, and a forgotten conf turned
+    catalog runs into bogus data-loss errors). The conf matters only at
+    enqueue time; afterwards routing follows the record and the conf may
+    freely differ (e.g. it points at the NEXT run's table while this
+    run's view is read). `strict=True` — the WRITE path — additionally
+    refuses a contradicting conf: a run must never write anywhere but
+    where its manifest says its data lives."""
+    recorded = manifest.sink_table
+    if strict:
+        from engine.catalog import configured_sink_table
+
+        conf = configured_sink_table(spark)
+        if conf and recorded != conf:
+            raise RuntimeError(
+                f"run {manifest.run_id} was enqueued with sink "
+                f"{'table ' + recorded if recorded else '(parquet path)'} "
+                f"but the session sets spark.graft.sink.table={conf} — a "
+                "run writes only where its manifest says its data lives; "
+                "unset the conf or enqueue a new run with it"
+            )
+    return recorded
 
 
 def stage_pages(
@@ -183,13 +214,9 @@ def run_extract_job(
     """
     import shutil
 
-    from engine.catalog import (
-        configured_sink_table,
-        read_sink_table,
-        write_wave_to_table,
-    )
+    from engine.catalog import read_sink_table, write_wave_to_table
 
-    sink_table = configured_sink_table(spark)
+    sink_table = _run_sink_table(spark, manifest, strict=True)
     pending = manifest.pending_partitions()
     done_docs = 0
     waves_run = 0
@@ -391,17 +418,20 @@ def read_extracted(spark: SparkSession, manifest: RunManifest) -> DataFrame:
         return spark.createDataFrame(
             [], schema=EXTRACTED_DDL + ", partition_id int"
         )
-    from engine.catalog import configured_sink_table, read_sink_table
+    from engine.catalog import read_sink_table
 
-    sink_table = configured_sink_table(spark)
+    sink_table = _run_sink_table(spark, manifest)
     if sink_table:
         if not spark.catalog.tableExists(sink_table):
             # same data-loss guard as the parquet path: committed lineage
             # with no readable base must surface, not read as empty
             return _empty_or_raise(f"catalog table {sink_table} missing")
         df = read_sink_table(spark, sink_table)
-        if len(committed) == manifest.state()["n_partitions"]:
-            return df
+        # ALWAYS filter to this run's committed partitions: the table is
+        # shared run-lineage state, so unlike the per-run parquet dir a
+        # "fully committed" run may coexist with stale partitions from an
+        # earlier, larger-n run — the skip-filter fast path is only safe
+        # for a directory this run owns exclusively
         return df.where(F.col("partition_id").isin(committed))
     if not os.path.exists(manifest.extracted_path):
         return _empty_or_raise("extracted/ directory missing")
@@ -613,9 +643,25 @@ def enqueue_increment(
         return loaded, spark.read.parquet(input_path)
 
     latest = dedup_latest_crawl(pages)
+    from engine.catalog import configured_sink_table
+
+    inc_sink = configured_sink_table(spark)
     done_urls = None
     for rid in base_run_ids:
         m = RunManifest.load(runs_root, rid)
+        if inc_sink and m.sink_table == inc_sink:
+            # both runs partition by pmod(hash(url), n): the increment's
+            # overwritePartitions would REPLACE the base's partitions in
+            # the shared table — silent loss of the base corpus. Each run
+            # needs its own table (read_extracted_across unions them from
+            # their manifests), exactly as each parquet run owns its dir.
+            raise RuntimeError(
+                f"increment would write to catalog table {inc_sink}, "
+                f"which base run {rid} already uses — partition ids "
+                "overlap and dynamic overwrite would replace the base's "
+                "data; point spark.graft.sink.table at a NEW table for "
+                "the increment"
+            )
         if not m.is_complete():
             # an incomplete base would hand its PENDING urls to the
             # increment; when the base later resumes, those urls exist in
@@ -939,9 +985,7 @@ def vacuum_run(spark: SparkSession, manifest: RunManifest) -> dict:
             "vacuum only completed runs (these artifacts are its resume "
             "sources)"
         )
-    from engine.catalog import configured_sink_table
-
-    if configured_sink_table(spark):
+    if _run_sink_table(spark, manifest):
         # catalog-sink run: the base table has no extracted/ dir or
         # generations here (snapshot expiry is the catalog's job) — only
         # the parquet side-car artifacts below are ours to reclaim
@@ -1076,9 +1120,7 @@ def compact_run(
     import os
     import shutil
 
-    from engine.catalog import configured_sink_table
-
-    sink = configured_sink_table(spark)
+    sink = _run_sink_table(spark, manifest)
     if sink:
         raise RuntimeError(
             f"run {manifest.run_id} writes to catalog table {sink} — "

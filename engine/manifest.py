@@ -58,6 +58,7 @@ class RunManifest:
         total_bytes: int,
         run_id: str | None = None,
         force: bool = False,
+        sink_table: str | None = None,
     ) -> "RunManifest":
         """Reserve step (Q2): one pending row per partition, one commit.
 
@@ -93,6 +94,12 @@ class RunManifest:
                 for p in range(n_partitions)
             },
         }
+        if sink_table:
+            # where this run's extracted base LIVES is a property of the
+            # RUN, not of whatever session later reads it — recording it
+            # here is what lets every verb route without (and validated
+            # against) live session conf
+            state["sink_table"] = sink_table
         m._commit(state)
         return m
 
@@ -126,6 +133,12 @@ class RunManifest:
 
     def is_complete(self) -> bool:
         return not self.pending_partitions()
+
+    @property
+    def sink_table(self) -> str | None:
+        """Catalog table recorded at enqueue time (engine/catalog.py), or
+        None for the parquet-path run (incl. every pre-seam manifest)."""
+        return self.state().get("sink_table")
 
     # ---------------------------------------------------------------- commit
     def commit_partitions(self, partition_ids: list[int]) -> None:

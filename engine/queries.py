@@ -2938,9 +2938,25 @@ def _sql_keyword_search_topk():
 # autoBroadcastJoinThreshold would allow, and safely below driver limits.
 TRIANGLE_BROADCAST_MAX_EDGES = 10_000_000
 # The Σ C(k,2) pair bound is dataset-level metadata — computed once per
-# input dir, not once per call (the gate threshold itself is compared
-# fresh each call, so tests can still flip it)
+# input, not once per call (the gate threshold itself is compared fresh
+# each call, so tests can still flip it). Keyed by (path, mtime_ns, size)
+# of the lineitem source so regenerating the data at the same path
+# invalidates the bound (review round 5: a stale small bound would keep
+# broadcasting an edge set the gate exists to reject); one entry per
+# path (the dict is replaced-per-path, not grown unboundedly).
 _TRIANGLE_BOUND_CACHE: dict = {}
+
+
+def _triangle_cache_key(sf_dir: str):
+    import os
+
+    p = os.path.join(sf_dir, "lineitem.parquet")
+    try:
+        st = os.stat(p)
+        return (p, st.st_mtime_ns, st.st_size)
+    except OSError:
+        # non-local path (s3://...): no cheap stat — disable caching
+        return None
 
 
 def q_triangle_parts(spark, sf_dir):
@@ -2982,15 +2998,20 @@ def q_triangle_parts(spark, sf_dir):
         # MEASURED SLOWER at sf0.1 (11.7/7.2 s vs 8.1/7.0 s plain; the
         # checkpoint write outweighs the saved recompute)
     )
-    if sf_dir not in _TRIANGLE_BOUND_CACHE:
-        _TRIANGLE_BOUND_CACHE[sf_dir] = (
+    key = _triangle_cache_key(sf_dir)
+    if key is None or _TRIANGLE_BOUND_CACHE.get(sf_dir, (None, None))[0] != key:
+        bound = (
             li.groupBy("l_orderkey")
             .agg(F.count("*").alias("k"))
             .agg(F.sum(F.expr("k * (k - 1) / 2")).alias("p"))
             .collect()[0]["p"]
             or 0
         )
-    pair_bound = _TRIANGLE_BOUND_CACHE[sf_dir]
+        if key is not None:
+            _TRIANGLE_BOUND_CACHE[sf_dir] = (key, bound)
+    else:
+        bound = _TRIANGLE_BOUND_CACHE[sf_dir][1]
+    pair_bound = bound
     e1, e2 = edges.alias("e1"), edges.alias("e2")
     e3 = (
         F.broadcast(edges)

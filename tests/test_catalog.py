@@ -131,8 +131,28 @@ def test_kill_and_resume_through_catalog_sink(spark, sink_table, tmp_path):
         == pages.select("url").distinct().count()
     )
 
-    # retry overlays stay parquet side-cars over the table base
-    assert retry_failed(spark, pages, man2)["retried"] >= 0
+    # retry overlays stay parquet side-cars over the table base — verify
+    # the MERGE view actually unions them (review round 5: the previous
+    # `retried >= 0` assertion was vacuously true)
+    from engine.jobs.extract_job import read_current_extracted
+
+    n_failed = (
+        read_current_extracted(spark, man2)
+        .where(F.col("status") == "failed")
+        .select("url")
+        .distinct()
+        .count()
+    )
+    assert n_failed > 0, "synth corpus must carry deterministic failures"
+    r = retry_failed(spark, pages, man2)
+    assert r["retried"] == n_failed and r["attempt"] == 1
+    assert os.path.exists(man2.extracted_path + "_retry")  # side-car
+    cur = read_current_extracted(spark, man2)
+    # latest-attempt view: still one row per url, and the retried urls'
+    # rows now come from the overlay (attempt 1), not the table base
+    assert cur.count() == pages.select("url").distinct().count()
+    overlay = spark.read.parquet(man2.extracted_path + "_retry")
+    assert overlay.where(F.col("attempt") == 1).count() == n_failed
 
     # file compaction belongs to the catalog, not the parquet verb
     with pytest.raises(RuntimeError, match="catalog"):
@@ -141,6 +161,53 @@ def test_kill_and_resume_through_catalog_sink(spark, sink_table, tmp_path):
     v = vacuum_run(spark, man2)
     assert "extracted" not in v["removed"]
     assert spark.table(sink_table).count() == pages.count()
+
+
+def test_increment_refuses_shared_table_and_unions_across_tables(
+    spark, sink_table, tmp_path
+):
+    """Round-5 review: an increment into the BASE's table would
+    overwritePartitions the base's own partition ids — silent corpus
+    loss. The seam must refuse the shared table, and with a distinct
+    table per run the cross-run union view works from each manifest's
+    recorded sink (no session conf needed at read time)."""
+    from engine.catalog import SINK_TABLE_CONF
+    from engine.jobs.extract_job import (
+        enqueue_increment,
+        read_extracted_across,
+        run_extract_job as run_job,
+    )
+
+    pages = generate_pages(spark, 120, partitions=2)
+    root = str(tmp_path / "runs")
+    man = enqueue(spark, pages, root, run_id="cbase")
+    run_job(spark, pages, man)
+    base_count = spark.table(sink_table).count()
+
+    bigger = generate_pages(spark, 200, partitions=2)
+    with pytest.raises(RuntimeError, match="NEW table"):
+        enqueue_increment(spark, bigger, root, ["cbase"], run_id="cinc")
+    assert spark.table(sink_table).count() == base_count  # untouched
+
+    inc_table = "spark_catalog.default.extracted_catalog_inc"
+    spark.conf.set(SINK_TABLE_CONF, inc_table)
+    try:
+        inc, new_pages = enqueue_increment(
+            spark, bigger, root, ["cbase"], run_id="cinc2"
+        )
+        assert inc is not None and inc.sink_table == inc_table
+        run_job(spark, new_pages, inc)
+        assert spark.table(sink_table).count() == base_count  # still
+        # the union view resolves each run's sink from ITS manifest even
+        # with the session conf now pointing elsewhere
+        across = read_extracted_across(spark, root, ["cbase", "cinc2"])
+        assert (
+            across.select("url").distinct().count()
+            == bigger.select("url").distinct().count()
+        )
+    finally:
+        spark.conf.set(SINK_TABLE_CONF, sink_table)
+        spark.sql(f"DROP TABLE IF EXISTS {inc_table}")
 
 
 def test_read_extracted_raises_when_catalog_table_lost(spark, sink_table, tmp_path):
