@@ -40,7 +40,10 @@ the bundled derby-backed hive catalog::
       --conf spark.sql.warehouse.dir=/data/wh \
       --conf spark.graft.sink.table=spark_catalog.default.extracted \
       run --pages ... --runs-root ... --run-id r1
-    # then stats/export/retry with the same --conf set reads the table
+    # later verbs need only the CATALOG confs (implementation +
+    # warehouse): the sink table itself is read from the run's manifest,
+    # so stats/export/retry work without spark.graft.sink.table
+    # (verified cross-process in-sandbox)
 
 A real deployment instead configures its Iceberg/JDBC catalog, which is
 durable by nature — the seam code is identical.
