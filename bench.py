@@ -113,6 +113,7 @@ HEADLINE = [
     "multimodal_video_frames",
     "mixture_sample_temp",
     "dataset_split",
+    "source_cap_sample",
     "dataset_shard_order",
     "pii_redact_stats",
     "keyword_search_topk",

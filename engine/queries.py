@@ -14,7 +14,11 @@ Determinism conventions (driver hashes values after sorting columns by name):
   * float outputs (cosine, ratios) are rounded to 4 decimals AFTER identical
     sequential fold order on both engines;
   * every top-k has a total-order tie-break;
-  * timestamps leave as epoch-second bigints (dodges tz/format divergence).
+  * timestamps leave as epoch-second bigints (dodges tz/format divergence);
+  * every FINAL integer sum in oracle SQL is ``CAST(sum(...) AS BIGINT)``:
+    DuckDB types a bare sum(int) as HUGEINT, which crosses Arrow as
+    decimal128 and float-stringifies driver-side ("4.0" != "4" — the
+    round-4 hash-fail class; tests/oracle_harness.py rejects the type).
 
 Scale notes are in each docstring: what the plan looks like at 100 TB and
 why (broadcast choices, shuffle keys, salting).
@@ -2825,6 +2829,60 @@ def _sql_dataset_split():
     """
 
 
+SOURCE_CAP_K = 50
+
+
+def q_source_cap_sample(spark, sf_dir):
+    """Per-source absolute cap — the anti-domination curation op (a la
+    per-domain caps in web-corpus pipelines): each source keeps at most
+    K=50 docs, chosen by deterministic content-hash order (md5(text),
+    doc_id tie-break) so the kept set is rerun-stable and engine-portable
+    rather than "whatever arrived first". Output: per source, total docs,
+    kept docs, and kept chars. Differs from mixture_sample (rate-based
+    thinning) — a cap bounds the ABSOLUTE contribution of a heavy source.
+
+    Scale: one hash shuffle on source for the row_number window; the
+    per-source partitions are exactly the skew the cap exists to handle,
+    so a production variant pre-filters with an approximate per-source
+    count to short-circuit sources under the cap (keeps the window's
+    sort to the heavy tail). The aggregation reuses the SAME source
+    partitioning — no second shuffle (one Exchange, plan-asserted in
+    tests/test_plans.py)."""
+    d = _t(spark, sf_dir, "documents")
+    h = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    w = W.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    ranked = d.withColumn("_rn", F.row_number().over(w))
+    kept = F.col("_rn") <= SOURCE_CAP_K
+    return ranked.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+        F.sum(
+            F.when(kept, F.coalesce(F.col("n_chars"), F.lit(0))).otherwise(0)
+        ).alias("kept_chars"),
+    )
+
+
+def _sql_source_cap_sample():
+    return f"""
+    WITH ranked AS (
+      SELECT source, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(coalesce(text, '')) ASC, doc_id ASC
+             ) AS rn
+      FROM documents)
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN rn <= {SOURCE_CAP_K} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN rn <= {SOURCE_CAP_K}
+                         THEN coalesce(n_chars, 0) ELSE 0 END)
+                AS BIGINT) AS kept_chars
+    FROM ranked
+    GROUP BY source
+    """
+
+
 def q_dataset_shard_order(spark, sf_dir):
     """Deterministic training order — the pipeline's last stage: every doc
     gets a content-independent pseudo-random position as (shard,
@@ -4051,7 +4109,6 @@ _reg(
 _reg("pivot_events", q_pivot_events, _sql_pivot_events())
 _reg("correlated_above_avg", q_correlated_above_avg, _sql_correlated_above_avg())
 _reg("approx_distinct", q_approx_distinct, None)
-_reg("json_roundtrip", q_json_roundtrip, _sql_json_roundtrip())
 _reg("dedup_exact", q_dedup_exact, _sql_dedup_exact())
 _reg(
     "training_set_selection",
@@ -4098,6 +4155,7 @@ _reg("incremental_dedup", q_incremental_dedup, _sql_incremental_dedup())
 _reg("mixture_sample", q_mixture_sample, _sql_mixture_sample())
 _reg("mixture_sample_temp", q_mixture_sample_temp, _sql_mixture_sample_temp())
 _reg("dataset_split", q_dataset_split, _sql_dataset_split())
+_reg("source_cap_sample", q_source_cap_sample, _sql_source_cap_sample())
 _reg("dataset_shard_order", q_dataset_shard_order, _sql_dataset_shard_order())
 _reg("sequence_pack", q_sequence_pack, _sql_sequence_pack())
 _reg("pagerank_txn_graph", q_pagerank_txn_graph, _sql_pagerank_txn_graph())
@@ -4136,9 +4194,11 @@ _reg("string_funcs", q_string_funcs, _sql_string_funcs())
 _reg("math_funcs", q_math_funcs, _sql_math_funcs())
 _reg("array_funcs", q_array_funcs, _sql_array_funcs())
 _reg("map_funcs", q_map_funcs, _sql_map_funcs())
-# displaced by the r5 dataset_split addition so the NEW op earns its
-# driver row immediately; time_window_agg holds green rows in r1-r4
+# displaced by the r5 dataset_split / source_cap_sample additions so the
+# NEW ops earn their driver rows immediately; time_window_agg holds
+# green rows in r1-r4, json_roundtrip in r2-r4
 _reg("time_window_agg", q_time_window_agg, _sql_time_window_agg())
+_reg("json_roundtrip", q_json_roundtrip, _sql_json_roundtrip())
 _reg(
     "multimodal_image_meta",
     q_multimodal_image_meta,

@@ -101,6 +101,7 @@ DOC_QUERIES = [
     "tfidf_topk_terms",
     "mixture_sample_temp",
     "dataset_split",
+    "source_cap_sample",
     "dataset_shard_order",
     "text_normalize_stats",
     "keyword_search_topk",

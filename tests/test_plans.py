@@ -299,6 +299,16 @@ def test_keyword_search_filters_before_shuffle_topk_no_sort(spark):
     assert last_ex < f < g, plan
 
 
+def test_source_cap_sample_single_shuffle(spark):
+    """The cap window partitions by source and the aggregation groups by
+    source — Catalyst must reuse the window's hash partitioning for the
+    agg, leaving exactly ONE exchange in the plan."""
+    from engine.queries import q_source_cap_sample
+
+    plan = _plan(q_source_cap_sample(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
 def test_column_profile_approx_no_expand(spark):
     """The exact profile pays a k-way Expand for multi-column exact
     COUNT(DISTINCT); the HLL++ twin must NOT — one scan, one partial+final

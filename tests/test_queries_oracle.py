@@ -72,6 +72,7 @@ def test_registry_driver_window_covers_value_exact():
         assert overflow == {
             "string_funcs", "math_funcs", "date_funcs", "set_ops",
             "json_funcs", "array_funcs", "map_funcs", "time_window_agg",
+            "json_roundtrip",
             "multimodal_image_meta", "multimodal_audio_meta",
         }, overflow
         for must_be_in in (
