@@ -186,6 +186,12 @@ def main(argv: list[str] | None = None) -> int:
     ip.add_argument("--run-id", help="id for the new increment run")
     ip.add_argument("--target-partition-mb", type=int, default=64)
     ip.add_argument("--wave-size", type=int, default=8)
+    ip.add_argument(
+        "--canonical-urls", action="store_true",
+        help="key the increment's within-crawl dedup on the canonical "
+        "url form (case/port/fragment/tracking-param-insensitive; "
+        "engine.sources.canonical_url) instead of the raw string",
+    )
 
     dd = sub.add_parser(
         "dedup-increment",
@@ -313,6 +319,7 @@ def main(argv: list[str] | None = None) -> int:
             [r.strip() for r in a.base_run_ids.split(",") if r.strip()],
             target_partition_bytes=a.target_partition_mb << 20,
             run_id=a.run_id,
+            canonical_urls=a.canonical_urls,
         )
         if m is None:
             print(json.dumps({"run_id": None, "docs_processed": 0,

@@ -123,15 +123,29 @@ def run_extract(pages_df):
     )
 
 
-def dedup_latest_crawl(pages_df):
+def dedup_latest_crawl(pages_df, canonical: bool = False):
     """One row per url: keep the latest warc_ts (re-crawl wins). The per-url
     byte-identical invariant (BASELINE.json:14) is defined over THIS view —
     a url extracted twice from two crawls is one logical document.
-    One shuffle on the dedup key (url), scale-safe."""
+    One shuffle on the dedup key, scale-safe.
+
+    `canonical=True` keys the dedup on engine.sources.canonical_url
+    instead of the raw string, so trivially-different spellings of one
+    resource (case, default port, fragment, utm tracking params) collapse
+    to one logical document; the surviving row keeps its ORIGINAL url.
+    Ties on warc_ts within a canonical group break on url for a
+    deterministic winner. Off by default: raw-key dedup is the frozen
+    goldens' behavior and canonicalization is the ingest owner's call."""
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
-    w = W.partitionBy("url").orderBy(F.desc("warc_ts"))
+    if canonical:
+        from engine.sources import canonical_url
+
+        key = canonical_url("url")
+        w = W.partitionBy(key).orderBy(F.desc("warc_ts"), F.asc("url"))
+    else:
+        w = W.partitionBy("url").orderBy(F.desc("warc_ts"))
     return (
         pages_df.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)

@@ -561,6 +561,7 @@ def enqueue_increment(
     target_partition_bytes: int = DEFAULT_TARGET_PARTITION_BYTES,
     min_partitions: int = 8,
     run_id: str | None = None,
+    canonical_urls: bool = False,
 ) -> tuple[RunManifest | None, DataFrame]:
     """Incremental append — the daily-crawl-increment verb every table-
     maintaining pipeline needs: enqueue ONLY the urls no base run has
@@ -642,7 +643,7 @@ def enqueue_increment(
             )
         return loaded, spark.read.parquet(input_path)
 
-    latest = dedup_latest_crawl(pages)
+    latest = dedup_latest_crawl(pages, canonical=canonical_urls)
     from engine.catalog import configured_sink_table
 
     inc_sink = configured_sink_table(spark)

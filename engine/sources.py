@@ -223,6 +223,58 @@ _READERS = {
 }
 
 
+# Tracking params that denote the SAME resource under different urls —
+# the standard strip list (utm campaign family + per-platform click ids)
+_TRACKING_PARAM_RE = (
+    r"^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|igshid|ref_src)(=.*)?$"
+)
+
+
+def canonical_url(col) -> "F.Column":
+    """Canonical form of a url for DEDUP KEYING (the crawler-side reality
+    BASELINE.json's one-doc-per-url invariant runs into: the same page
+    arrives as http://Site.com/a?utm_source=x, HTTP://site.com:80/a, and
+    http://site.com/a#frag). Pure JVM expressions — parse_url + regexp —
+    so the canonicalization is a map-side column, never a Python pass:
+
+      scheme+host lowercased · default :80/:443 ports stripped · empty
+      path → '/' · fragment dropped · query params sorted + tracking
+      params (utm_*, fbclid, gclid, ...) removed · unparseable urls pass
+      through unchanged (a garbage key only collides with itself).
+
+    This is a KEY function: callers keep the original url column and key
+    dedup on canonical_url(url) (dedup_latest_crawl(canonical=True)), so
+    published outputs still carry the url actually crawled."""
+    u = F.col(col) if isinstance(col, str) else col
+    scheme = F.lower(F.try_parse_url(u, F.lit("PROTOCOL")))
+    auth = F.lower(F.try_parse_url(u, F.lit("AUTHORITY")))
+    auth = F.when(
+        scheme == "http", F.regexp_replace(auth, ":80$", "")
+    ).when(
+        scheme == "https", F.regexp_replace(auth, ":443$", "")
+    ).otherwise(auth)
+    path = F.try_parse_url(u, F.lit("PATH"))
+    path = F.when(path.isNull() | (path == ""), F.lit("/")).otherwise(path)
+    query = F.try_parse_url(u, F.lit("QUERY"))
+    kept = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(F.coalesce(query, F.lit("")), "&"),
+                lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE),
+            )
+        ),
+        "&",
+    )
+    rebuilt = F.concat(
+        scheme,
+        F.lit("://"),
+        auth,
+        path,
+        F.when(kept == "", F.lit("")).otherwise(F.concat(F.lit("?"), kept)),
+    )
+    return F.when(scheme.isNull() | auth.isNull(), u).otherwise(rebuilt)
+
+
 def read_pages(
     spark: SparkSession,
     path: str,

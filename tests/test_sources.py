@@ -115,6 +115,68 @@ def test_files_ingest_recurses_into_tree(spark, tmp_path):
     }
 
 
+def test_canonical_url_collapses_trivial_variants(spark):
+    """canonical_url must merge spellings of one resource (case, default
+    port, fragment, tracking params, query order) while keeping distinct
+    resources and unparseable strings apart — and stay pure-JVM."""
+    from engine.sources import canonical_url
+
+    rows = [
+        ("http://Site.com/a?utm_source=x&b=2&a=1",),
+        ("HTTP://site.com:80/a?a=1&b=2#frag",),
+        ("http://site.com/a?b=2&a=1&fbclid=abc",),
+        ("https://site.com:443/",),
+        ("https://site.com",),          # empty path -> '/'
+        ("http://site.com/a?b=3",),     # DIFFERENT resource (b=3)
+        ("http://other.com/a?a=1&b=2",),  # different host
+        ("not a url at all",),          # passes through unchanged
+        ("mailto:x@y.z",),              # no authority -> unchanged
+    ]
+    df = spark.createDataFrame(rows, "url string").select(
+        "url", canonical_url("url").alias("c")
+    )
+    got = {r["url"]: r["c"] for r in df.collect()}
+    canon = "http://site.com/a?a=1&b=2"
+    assert got["http://Site.com/a?utm_source=x&b=2&a=1"] == canon
+    assert got["HTTP://site.com:80/a?a=1&b=2#frag"] == canon
+    assert got["http://site.com/a?b=2&a=1&fbclid=abc"] == canon
+    assert got["https://site.com:443/"] == "https://site.com/"
+    assert got["https://site.com"] == "https://site.com/"
+    assert got["http://site.com/a?b=3"] == "http://site.com/a?b=3"
+    assert got["http://other.com/a?a=1&b=2"] == "http://other.com/a?a=1&b=2"
+    assert got["not a url at all"] == "not a url at all"
+    assert got["mailto:x@y.z"] == "mailto:x@y.z"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan  # map-side JVM expressions only
+
+
+def test_dedup_latest_crawl_canonical_key(spark):
+    """canonical=True collapses url variants to ONE logical doc (latest
+    warc_ts wins; url tie-break) and keeps the original url; default
+    behavior is untouched raw-key dedup."""
+    import datetime as dt
+
+    from engine.extract.udf import dedup_latest_crawl
+
+    t0, t1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2)
+    rows = [
+        ("http://s.com/a?utm_source=x", t0, b"<p>old</p>", None, None),
+        ("HTTP://s.com:80/a", t1, b"<p>new</p>", None, None),
+        ("http://s.com/b", t0, b"<p>b</p>", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    raw = dedup_latest_crawl(df)
+    assert raw.count() == 3  # raw keys all distinct — frozen behavior
+    canon = dedup_latest_crawl(df, canonical=True).collect()
+    assert len(canon) == 2
+    winner = {bytes(r["html"]): r["url"] for r in canon}
+    assert b"<p>new</p>" in winner  # latest crawl of the /a group won
+    assert winner[b"<p>new</p>"] == "HTTP://s.com:80/a"  # original kept
+    assert b"<p>b</p>" in winner
+
+
 def test_files_ingest_filters_non_html_assets(spark, tmp_path):
     """Advice round 4: a real scraped dump carries images/css/js next to
     the pages — the default glob must keep them out of the pages rows at
