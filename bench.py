@@ -114,6 +114,7 @@ HEADLINE = [
     "mixture_sample_temp",
     "dataset_split",
     "source_cap_sample",
+    "bigram_novelty_scores",
     "dataset_shard_order",
     "pii_redact_stats",
     "keyword_search_topk",

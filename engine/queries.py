@@ -2829,6 +2829,82 @@ def _sql_dataset_split():
     """
 
 
+BIGRAM_RARE_MAX = 2
+
+
+def q_bigram_novelty_scores(spark, sf_dir):
+    """Corpus-LM quality filtering, relational form: train a bigram model
+    ON the corpus (global bigram occurrence counts) and score every doc
+    against it — the join-shaped analog of CCNet's perplexity filter,
+    kept in INTEGER space (counts, not log-probs) so the score is
+    value-exact across engines instead of hinging on ln() ulp identity.
+    Per doc: total bigram occurrences, how many are corpus-rare
+    (freq <= 2 — a high rare fraction marks gibberish/boilerplate-mangled
+    text), and the summed corpus frequency (high = stereotyped text).
+    Docs with <2 tokens have no bigrams and drop out, both engines.
+
+    Scale: the model IS a DataFrame (bigram → freq), so "training" is one
+    map-side-combined groupBy and "inference" is a shuffle join on bigram
+    — at web scale the model table is itself huge (O(vocab²) tail), which
+    is exactly why this must be a join, not a broadcast dictionary; AQE
+    still broadcasts it when a small corpus yields a small model. The
+    bigram explode is the same explode-cheap-side shape as the shingle
+    ops (memory: explode expressions, not named arrays)."""
+    d = _t_spread(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("toks")
+    )
+    bg = (
+        d.where(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.try_element_at(F.col("toks"), i + 1),
+                        F.try_element_at(F.col("toks"), i + 2),
+                    ),
+                )
+            ).alias("bigram"),
+        )
+    )
+    model = bg.groupBy("bigram").agg(F.count("*").alias("freq"))
+    return (
+        bg.join(model, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(
+                (F.col("freq") <= BIGRAM_RARE_MAX).cast("long")
+            ).alias("n_rare"),
+            F.sum("freq").alias("total_freq"),
+        )
+    )
+
+
+def _sql_bigram_novelty_scores():
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t
+      FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i + 1])) AS bigram
+      FROM toks WHERE len(t) >= 2),
+    model AS (
+      SELECT bigram, count(*) AS freq FROM bg GROUP BY bigram)
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           CAST(sum(CASE WHEN freq <= {BIGRAM_RARE_MAX} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_rare,
+           CAST(sum(freq) AS BIGINT) AS total_freq
+    FROM bg JOIN model USING (bigram)
+    GROUP BY doc_id
+    """
+
+
 SOURCE_CAP_K = 50
 
 
@@ -4178,6 +4254,13 @@ _reg("multimodal_video_meta", q_multimodal_video_meta, _sql_multimodal_video_met
 _reg("multimodal_video_frames", q_multimodal_video_frames, _sql_multimodal_video_frames())
 _reg("keyword_search_topk", q_keyword_search_topk, _sql_keyword_search_topk())
 _reg("triangle_parts", q_triangle_parts, _sql_triangle_parts())
+# late-r5 addition past window capacity: repo-harness value-exact at both
+# SFs; first in line for the r6 window rotation
+_reg(
+    "bigram_novelty_scores",
+    q_bigram_novelty_scores,
+    _sql_bigram_novelty_scores(),
+)
 
 # Registered LAST among the value-exact set ON PURPOSE: with 59
 # oracle-backed queries the driver's 50-entry window overflows by nine,

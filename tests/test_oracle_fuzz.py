@@ -102,6 +102,7 @@ DOC_QUERIES = [
     "mixture_sample_temp",
     "dataset_split",
     "source_cap_sample",
+    "bigram_novelty_scores",
     "dataset_shard_order",
     "text_normalize_stats",
     "keyword_search_topk",
