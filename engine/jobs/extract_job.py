@@ -675,7 +675,21 @@ def enqueue_increment(
         done_urls = u if done_urls is None else done_urls.unionByName(u)
     new_pages = latest
     if done_urls is not None:
-        new_pages = latest.join(done_urls.distinct(), "url", "left_anti")
+        if canonical_urls:
+            # the cross-run skip must use the SAME key as the dedup
+            # (review round 5): a base-committed resource re-crawled
+            # under a different spelling would otherwise re-extract and
+            # put two spellings of one canonical doc in the union view
+            from engine.sources import canonical_url
+
+            p, d = latest.alias("p"), done_urls.distinct().alias("d")
+            new_pages = p.join(
+                d,
+                canonical_url(F.col("p.url")) == canonical_url(F.col("d.url")),
+                "left_anti",
+            )
+        else:
+            new_pages = latest.join(done_urls.distinct(), "url", "left_anti")
     tmp = os.path.join(runs_root, f".{run_id}.input.tmp")
     shutil.rmtree(tmp, ignore_errors=True)
     new_pages.write.mode("overwrite").parquet(tmp)

@@ -247,12 +247,21 @@ def canonical_url(col) -> "F.Column":
     published outputs still carry the url actually crawled."""
     u = F.col(col) if isinstance(col, str) else col
     scheme = F.lower(F.try_parse_url(u, F.lit("PROTOCOL")))
-    auth = F.lower(F.try_parse_url(u, F.lit("AUTHORITY")))
-    auth = F.when(
-        scheme == "http", F.regexp_replace(auth, ":80$", "")
+    auth_raw = F.try_parse_url(u, F.lit("AUTHORITY"))
+    # RFC 3986: only scheme and HOST are case-insensitive — userinfo is
+    # not, so lowercase the host[:port] part only (review round 5: a
+    # whole-authority lower() falsely merged http://User@h/ with
+    # http://user@h/)
+    userinfo = F.regexp_extract(auth_raw, "^([^@]*)@", 1)
+    hostport = F.lower(F.regexp_replace(auth_raw, "^[^@]*@", ""))
+    hostport = F.when(
+        scheme == "http", F.regexp_replace(hostport, ":80$", "")
     ).when(
-        scheme == "https", F.regexp_replace(auth, ":443$", "")
-    ).otherwise(auth)
+        scheme == "https", F.regexp_replace(hostport, ":443$", "")
+    ).otherwise(hostport)
+    auth = F.when(
+        userinfo == "", hostport
+    ).otherwise(F.concat(userinfo, F.lit("@"), hostport))
     path = F.try_parse_url(u, F.lit("PATH"))
     path = F.when(path.isNull() | (path == ""), F.lit("/")).otherwise(path)
     query = F.try_parse_url(u, F.lit("QUERY"))

@@ -369,6 +369,54 @@ def test_corrupt_extracted_layout_raises(spark, pages, tmp_path):
         read_extracted(spark, man).count()
 
 
+def test_increment_canonical_skips_respelled_base_urls(spark, tmp_path):
+    """canonical_urls=True must apply the canonical key to BOTH the
+    within-crawl dedup AND the cross-run anti-join (review round 5): a
+    base-committed resource re-crawled under a trivially different
+    spelling is a skip, not a re-extract."""
+    import datetime as dt
+
+    from engine.jobs.extract_job import enqueue_increment
+
+    t0, t1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 2, 1)
+    schema = (
+        "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    base_pages = spark.createDataFrame(
+        [
+            ("http://s.com/a", t0, b"<p>a</p>", None, None),
+            ("http://s.com/b", t0, b"<p>b</p>", None, None),
+        ],
+        schema,
+    )
+    root = str(tmp_path / "runs")
+    man = enqueue(spark, base_pages, root, run_id="cb")
+    run_extract_job(spark, base_pages, man)
+
+    crawl = spark.createDataFrame(
+        [
+            # the base's /a again, respelled (tracking param + case)
+            ("HTTP://s.com:80/a?utm_source=x", t1, b"<p>a2</p>", None, None),
+            ("http://s.com/b", t1, b"<p>b2</p>", None, None),  # raw match
+            ("http://s.com/c", t1, b"<p>c</p>", None, None),   # genuinely new
+        ],
+        schema,
+    )
+    inc, new_pages = enqueue_increment(
+        spark, crawl, root, ["cb"], run_id="ci", canonical_urls=True
+    )
+    got = {r["url"] for r in new_pages.select("url").collect()}
+    assert got == {"http://s.com/c"}, got
+
+    # without the flag the respelled /a slips through (the raw-key
+    # baseline this feature exists to fix)
+    inc2, raw_pages = enqueue_increment(
+        spark, crawl, root, ["cb"], run_id="ci-raw"
+    )
+    got_raw = {r["url"] for r in raw_pages.select("url").collect()}
+    assert got_raw == {"HTTP://s.com:80/a?utm_source=x", "http://s.com/c"}
+
+
 def test_increment_extracts_only_new_urls(spark, pages, tmp_path):
     """Incremental append (daily-crawl increment): a second crawl that is a
     superset of the base extracts EXACTLY the never-seen urls, the union

@@ -146,6 +146,14 @@ def test_canonical_url_collapses_trivial_variants(spark):
     assert got["http://other.com/a?a=1&b=2"] == "http://other.com/a?a=1&b=2"
     assert got["not a url at all"] == "not a url at all"
     assert got["mailto:x@y.z"] == "mailto:x@y.z"
+    # RFC 3986: userinfo is CASE-SENSITIVE — only host lowercases
+    ui = spark.createDataFrame(
+        [("http://User@Site.com:80/a",), ("http://user@site.com/a",)],
+        "url string",
+    ).select(canonical_url("url").alias("c")).collect()
+    assert ui[0]["c"] == "http://User@site.com/a"
+    assert ui[1]["c"] == "http://user@site.com/a"
+    assert ui[0]["c"] != ui[1]["c"]
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan  # map-side JVM expressions only
 
