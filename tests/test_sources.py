@@ -158,6 +158,40 @@ def test_canonical_url_collapses_trivial_variants(spark):
     assert "Python" not in plan  # map-side JVM expressions only
 
 
+def test_canonical_url_idempotent(spark):
+    """canonical_url must be a FIXED POINT: canonical(canonical(u)) ==
+    canonical(u). If the canonical form re-canonicalized drifted (e.g.
+    the userinfo rebuild or port stripping produced a form the next pass
+    rewrites), cross-run anti-joins keyed on it would stop matching rows
+    they matched the round before."""
+    import random
+
+    from engine.sources import canonical_url
+
+    rng = random.Random(7)
+    parts_scheme = ["http", "https", "HTTP", "ftp"]
+    parts_host = ["Site.com", "a.B.c", "x", "127.0.0.1"]
+    urls = [
+        (
+            f"{rng.choice(parts_scheme)}://"
+            f"{rng.choice(['', 'User:Pw@', 'u@'])}"
+            f"{rng.choice(parts_host)}"
+            f"{rng.choice(['', ':80', ':443', ':8080'])}"
+            f"{rng.choice(['', '/', '/p/q.html'])}"
+            f"{rng.choice(['', '?b=2&a=1', '?utm_source=x', '?a=1&utm_b=c&z='])}"
+            f"{rng.choice(['', '#frag'])}",
+        )
+        for _ in range(200)
+    ] + [("garbage no scheme",), ("",), ("http://",)]
+    df = spark.createDataFrame(urls, "url string").select(
+        canonical_url("url").alias("c1")
+    ).select("c1", canonical_url("c1").alias("c2"))
+    bad = df.where(
+        ~(F.col("c1").eqNullSafe(F.col("c2")))
+    ).collect()
+    assert not bad, bad[:5]
+
+
 def test_dedup_latest_crawl_canonical_key(spark):
     """canonical=True collapses url variants to ONE logical doc (latest
     warc_ts wins; url tie-break) and keeps the original url; default
