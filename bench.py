@@ -137,6 +137,7 @@ HEADLINE = [
     "stats_agg_approx",
     "map_funcs",
     "json_roundtrip",
+    "full_outer_reconcile",
 ]
 
 

@@ -780,6 +780,72 @@ def _sql_time_window_agg():
     """
 
 
+def q_full_outer_reconcile(spark, sf_dir):
+    """FULL OUTER join — the reconciliation shape (which days have orders
+    but no events, events but no orders, or both?) that completes the
+    battery's join-type coverage: per-day order counts FULL-OUTER-joined
+    with per-day event counts on the coalesced day key, absent sides
+    reported as 0 with an explicit presence status. NULL dates belong to
+    neither side (filtered identically both engines).
+
+    Scale: both inputs are pre-aggregated to one row per day BEFORE the
+    join (partial+final hash aggs), so the full-outer join is tiny-by-
+    construction — the reconciliation pattern that works at any corpus
+    size because the join cardinality is the day count, not the row
+    count."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate").isNotNull())
+        .groupBy(
+            F.unix_timestamp(F.date_trunc("day", "o_orderdate")).alias(
+                "day_epoch"
+            )
+        )
+        .agg(F.count("*").alias("n_orders"))
+    )
+    e = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .groupBy(
+            F.unix_timestamp(F.date_trunc("day", "ts")).alias("day_epoch")
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+    j = o.join(e, "day_epoch", "full_outer")
+    status = (
+        F.when(F.col("n_orders").isNull(), "events_only")
+        .when(F.col("n_events").isNull(), "orders_only")
+        .otherwise("both")
+    )
+    return j.select(
+        "day_epoch",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        status.alias("status"),
+    )
+
+
+def _sql_full_outer_reconcile():
+    return """
+    WITH o AS (
+      SELECT CAST(epoch(date_trunc('day', o_orderdate)) AS BIGINT)
+               AS day_epoch,
+             count(*) AS n_orders
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+    e AS (
+      SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+             count(*) AS n_events
+      FROM events WHERE ts IS NOT NULL GROUP BY 1)
+    SELECT day_epoch,
+           coalesce(n_orders, 0) AS n_orders,
+           coalesce(n_events, 0) AS n_events,
+           CASE WHEN n_orders IS NULL THEN 'events_only'
+                WHEN n_events IS NULL THEN 'orders_only'
+                ELSE 'both' END AS status
+    FROM o FULL JOIN e USING (day_epoch)
+    """
+
+
 def q_math_funcs(spark, sf_dir):
     """Math family: round/floor/ceil/log/pow/pmod/greatest/least. The log
     is domain-guarded (NULL outside x>0) because the engines degrade
@@ -4252,12 +4318,17 @@ _reg("multimodal_video_meta", q_multimodal_video_meta, _sql_multimodal_video_met
 _reg("multimodal_video_frames", q_multimodal_video_frames, _sql_multimodal_video_frames())
 _reg("keyword_search_topk", q_keyword_search_topk, _sql_keyword_search_topk())
 _reg("triangle_parts", q_triangle_parts, _sql_triangle_parts())
-# late-r5 addition past window capacity: repo-harness value-exact at both
-# SFs; first in line for the r6 window rotation
+# late-r5 additions past window capacity: repo-harness value-exact at
+# both SFs; first in line for the r6 window rotation
 _reg(
     "bigram_novelty_scores",
     q_bigram_novelty_scores,
     _sql_bigram_novelty_scores(),
+)
+_reg(
+    "full_outer_reconcile",
+    q_full_outer_reconcile,
+    _sql_full_outer_reconcile(),
 )
 
 # Registered LAST among the value-exact set ON PURPOSE: with 62

@@ -320,7 +320,12 @@ def test_join_queries_survive_null_keys(spark, events_dir, tmp_path):
             f"read_parquet('{sf}/{t}.parquet/*.parquet')"
         )
     bad = {}
-    for name in ("salted_skew_join", "asof_join", "correlated_above_avg"):
+    for name in (
+        "salted_skew_join",
+        "asof_join",
+        "correlated_above_avg",
+        "full_outer_reconcile",
+    ):
         sdf = _QUERIES[name](spark, sf)
         s = frame_fingerprint(sdf.columns, [tuple(r) for r in sdf.collect()])
         cur = con.execute(_ORACLE[name])

@@ -74,9 +74,9 @@ def test_registry_driver_window_covers_value_exact():
             "json_funcs", "array_funcs", "map_funcs", "time_window_agg",
             "json_roundtrip",
             "multimodal_image_meta", "multimodal_audio_meta",
-            # late-r5 op past window capacity (repo-harness value-exact,
+            # late-r5 ops past window capacity (repo-harness value-exact,
             # no driver row YET): first in line for the r6 rotation
-            "bigram_novelty_scores",
+            "bigram_novelty_scores", "full_outer_reconcile",
         }, overflow
         for must_be_in in (
             "multimodal_video_meta", "multimodal_video_frames",
