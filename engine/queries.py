@@ -4331,10 +4331,11 @@ _reg(
     _sql_full_outer_reconcile(),
 )
 
-# Registered LAST among the value-exact set ON PURPOSE: with 62
-# oracle-backed queries the driver's 50-entry window overflows by twelve
-# (incl. bigram_novelty_scores above, the late-r5 add awaiting the r6
-# rotation), and the rest are the right sacrifice — the five function
+# Registered LAST among the value-exact set ON PURPOSE: with 63
+# oracle-backed queries the driver's 50-entry window overflows by
+# thirteen (incl. bigram_novelty_scores and full_outer_reconcile above,
+# the late-r5 adds awaiting the r6 rotation), and the rest are the right
+# sacrifice — the five function
 # batteries are driver-green in committed CORRECTNESS_r01+r02(+r03),
 # array/map/time_window/json_roundtrip in r01/r02-r04, and the
 # image/audio meta twins in r04 with the multimodal meta FAMILY now
