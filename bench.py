@@ -138,6 +138,8 @@ HEADLINE = [
     "map_funcs",
     "json_roundtrip",
     "full_outer_reconcile",
+    "dup_span_stats",
+    "bm25_topk",
 ]
 
 

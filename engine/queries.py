@@ -3130,6 +3130,276 @@ def _sql_keyword_search_topk():
     """
 
 
+# Token width of the duplicated-substring detector's grams. 8 tokens is
+# the classic "long enough that sharing one is not chance" width class
+# (Lee et al. 2022 use 50 BPE tokens on real web text; the synthetic
+# corpus's docs are far shorter, so 8 whitespace tokens plays the same
+# role at test scale while keeping the mechanism identical).
+DUP_SPAN_K = 8
+
+
+def q_dup_span_stats(spark, sf_dir):
+    """Substring-level exact duplication, the Lee-et-al.-2022 op the
+    doc-level dedup family can't express: find every K-token gram that
+    occurs >=2 times ANYWHERE in the corpus (across docs or repeated
+    within one), then merge each doc's duplicated gram starts into
+    maximal spans and report per-doc duplication: duplicated-gram count,
+    merged span count, duplicated-token coverage (union of [pos, pos+K-1]
+    intervals), and the covered fraction. Docs with no duplicated gram
+    drop out. This is the relational form of suffix-array substring
+    dedup: the gram table IS the (fixed-width) suffix index.
+
+    Scale: gram occurrence counts use groupBy + join-back rather than a
+    count-over-window — the groupBy partial-aggregates map-side (the
+    reducer sees (gram, count), not every position row), and the
+    join-back is an AQE-splittable skew join, where a window over a
+    mega-hot gram ("the of the ..." at 10^12 docs) would buffer that
+    gram's entire position list in one task. The span merge windows
+    partition by doc_id — pre-hashed bounded keys, never hot. At
+    production scale the gram string would be replaced by a 128-bit hash
+    before the shuffle (collision-free for ranking purposes); kept as
+    the raw string here for oracle value-exactness, same trade the
+    jaccard op makes."""
+    k = DUP_SPAN_K
+    d = _t_spread(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("toks"),
+    )
+    grams = (
+        d.where(F.size("toks") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(_ngram_expr(F.col("toks"), k, distinct=False)),
+        )
+        .select("doc_id", "pos", F.col("col").alias("gram"))
+    )
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= 2)
+        .select("gram")
+    )
+    dup = grams.join(dup_grams, "gram").select("doc_id", "pos")
+    wdoc = W.partitionBy("doc_id").orderBy("pos")
+    lagp = F.lag("pos").over(wdoc)
+    flagged = dup.withColumn(
+        "new_span",
+        F.when(lagp.isNull() | (F.col("pos") - lagp > k), 1).otherwise(0),
+    ).withColumn(
+        "span_id",
+        F.sum("new_span").over(
+            wdoc.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    spans = flagged.groupBy("doc_id", "span_id").agg(
+        F.min("pos").alias("mn"),
+        F.max("pos").alias("mx"),
+        F.count("*").alias("n_grams"),
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum("n_grams").alias("n_dup_grams"),
+        F.count("*").alias("n_dup_spans"),
+        F.sum(F.col("mx") - F.col("mn") + k).alias("dup_tokens"),
+    )
+    ntok = d.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+    return per_doc.join(ntok, "doc_id").select(
+        "doc_id",
+        "n_dup_grams",
+        "n_dup_spans",
+        "dup_tokens",
+        "n_tokens",
+        F.round(
+            F.col("dup_tokens").cast("double")
+            / F.col("n_tokens").cast("double"),
+            4,
+        ).alias("dup_frac"),
+    )
+
+
+def _sql_dup_span_stats():
+    k = DUP_SPAN_K
+    gram = " || ' ' || ".join(f"t[i + {j}]" for j in range(1, k + 1))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t
+      FROM documents),
+    grams AS (
+      SELECT doc_id, i AS pos, {gram} AS gram
+      FROM toks, UNNEST(range(0, len(t) - {k} + 1)) AS u(i)
+      WHERE len(t) >= {k}),
+    dup_grams AS (
+      SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+    dup AS (
+      SELECT doc_id, pos FROM grams JOIN dup_grams USING (gram)),
+    flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL
+                       OR pos - lag(pos) OVER w > {k}
+                  THEN 1 ELSE 0 END AS new_span
+      FROM dup
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    numbered AS (
+      SELECT doc_id, pos,
+             sum(new_span) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+      FROM flagged),
+    spans AS (
+      SELECT doc_id, span_id, min(pos) AS mn, max(pos) AS mx,
+             count(*) AS n_grams
+      FROM numbered GROUP BY 1, 2),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(sum(n_grams) AS BIGINT) AS n_dup_grams,
+             count(*) AS n_dup_spans,
+             CAST(sum(mx - mn + {k}) AS BIGINT) AS dup_tokens
+      FROM spans GROUP BY doc_id)
+    SELECT doc_id, n_dup_grams, n_dup_spans, dup_tokens,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           round(CAST(dup_tokens AS DOUBLE) / CAST(len(t) AS DOUBLE), 4)
+             AS dup_frac
+    FROM per_doc JOIN toks USING (doc_id)
+    """
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Disjunctive BM25 ranked retrieval (k1=1.2, b=0.75) in scan-once
+    scoring form: per-term tf comes from a higher-order F.filter over
+    the materialized token array — (doc_id, dl, tf_table, tf_hash,
+    tf_scan) in ONE map-side projection, no explode, no posting-list
+    shuffle at all (contrast keyword_search_topk, which demonstrates the
+    inverted-index shape; with |q| known at plan time, per-term counters
+    beat building postings only to pivot them straight back). Corpus
+    stats (N, Σdl, per-term df) are a 1-row aggregate broadcast-cross-
+    joined back; the only exchanges at scale are that broadcast and the
+    final TakeOrderedAndProject — a stored index would precompute the
+    stats row and the norms column, eliminating the second scan.
+
+    Uses the RATIONAL idf (N - df + 0.5)/(df + 0.5) — textbook BM25's
+    ln() is a monotone per-term transform, and this repo's ranking ops
+    stay ln()-free so scores are IEEE-deterministic across engines
+    (same policy as tfidf_topk_terms' integer rank keys): +, *, / are
+    correctly rounded in both Spark and DuckDB, ln is implementation-
+    defined ulp. The 3-term score sum folds in fixed syntactic order
+    over per-term columns, never a nondeterministic float SUM."""
+    terms = KEYWORD_QUERY_TERMS
+    d = _t_spread(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("toks"),
+    )
+    def _eq(term):
+        # closure, NOT a `t=t` default arg: a 2-parameter lambda is the
+        # (element, index) form to F.filter and the default would be
+        # silently replaced by the index column
+        return lambda x: x == F.lit(term)
+
+    base = d.select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        *[
+            F.size(F.filter(F.col("toks"), _eq(t))).alias(f"tf_{t}")
+            for t in terms
+        ],
+    )
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
+            for t in terms
+        ],
+    )
+    matched = None
+    for t in terms:
+        cond = F.col(f"tf_{t}") > 0
+        matched = cond if matched is None else matched | cond
+    scored = base.where(matched).crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    norm = F.lit(0.25) + F.lit(0.75) * (F.col("dl").cast("double") / avgdl)
+
+    def contrib(t):
+        tf = F.col(f"tf_{t}").cast("double")
+        dfc = F.col(f"df_{t}")
+        idf = (
+            (F.col("n_docs") - dfc).cast("double") + F.lit(0.5)
+        ) / (dfc.cast("double") + F.lit(0.5))
+        return F.when(
+            F.col(f"tf_{t}") == 0, F.lit(0.0)
+        ).otherwise(idf * ((tf * F.lit(2.2)) / (tf + F.lit(1.2) * norm)))
+
+    score = contrib(terms[0])
+    for t in terms[1:]:
+        score = score + contrib(t)
+    n_terms = None
+    for t in terms:
+        flag = F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)
+        n_terms = flag if n_terms is None else n_terms + flag
+    return (
+        scored.select(
+            "doc_id",
+            n_terms.alias("n_terms"),
+            F.round(score, 4).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def _sql_bm25_topk():
+    terms = KEYWORD_QUERY_TERMS
+    tf_cols = ",\n             ".join(
+        f"len(list_filter(t, x -> x = '{t}')) AS tf_{t}" for t in terms
+    )
+    df_cols = ",\n             ".join(
+        f"CAST(sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS df_{t}"
+        for t in terms
+    )
+
+    def contrib(t):
+        idf = (
+            f"((CAST(n_docs - df_{t} AS DOUBLE) + 0.5)"
+            f" / (CAST(df_{t} AS DOUBLE) + 0.5))"
+        )
+        tf_norm = (
+            f"((CAST(tf_{t} AS DOUBLE) * 2.2)"
+            f" / (CAST(tf_{t} AS DOUBLE) + 1.2"
+            f" * (0.25 + 0.75 * (CAST(dl AS DOUBLE)"
+            f" / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))"
+        )
+        return (
+            f"CASE WHEN tf_{t} = 0 THEN 0.0"
+            f" ELSE {idf} * {tf_norm} END"
+        )
+
+    score = " + ".join(contrib(t) for t in terms)
+    n_terms = " + ".join(
+        f"CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END" for t in terms
+    )
+    matched = " OR ".join(f"tf_{t} > 0" for t in terms)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t
+      FROM documents),
+    base AS (
+      SELECT doc_id, len(t) AS dl,
+             {tf_cols}
+      FROM toks),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS sum_dl,
+             {df_cols}
+      FROM base)
+    SELECT doc_id,
+           {n_terms} AS n_terms,
+           round({score}, 4) AS bm25
+    FROM base, stats
+    WHERE {matched}
+    ORDER BY bm25 DESC, doc_id ASC
+    LIMIT 20
+    """
+
+
 # Broadcast ceiling for the triangle closing probe, in (upper-bounded)
 # edge rows: 10M edges ≈ 160 MB raw pairs — comfortably shippable to a
 # wedge set orders of magnitude larger, far past what any static
@@ -4220,9 +4490,7 @@ def _reg(name: str, fn, sql: str | None) -> None:
 
 
 _reg("pricing_summary", q_pricing_summary, _sql_pricing_summary())
-_reg("distinct_agg", q_distinct_agg, _sql_distinct_agg())
 _reg("rollup_doc_metrics", q_rollup_doc_metrics, _sql_rollup_doc_metrics())
-_reg("cube_events", q_cube_events, _sql_cube_events())
 _reg("broadcast_dim_join", q_broadcast_dim_join, _sql_broadcast_dim_join())
 _reg(
     "region_nation_suppliers",
@@ -4246,8 +4514,6 @@ _reg(
     q_grouping_sets_events,
     _sql_grouping_sets_events(),
 )
-_reg("pivot_events", q_pivot_events, _sql_pivot_events())
-_reg("correlated_above_avg", q_correlated_above_avg, _sql_correlated_above_avg())
 _reg("approx_distinct", q_approx_distinct, None)
 _reg("dedup_exact", q_dedup_exact, _sql_dedup_exact())
 _reg(
@@ -4318,8 +4584,10 @@ _reg("multimodal_video_meta", q_multimodal_video_meta, _sql_multimodal_video_met
 _reg("multimodal_video_frames", q_multimodal_video_frames, _sql_multimodal_video_frames())
 _reg("keyword_search_topk", q_keyword_search_topk, _sql_keyword_search_topk())
 _reg("triangle_parts", q_triangle_parts, _sql_triangle_parts())
-# late-r5 additions past window capacity: repo-harness value-exact at
-# both SFs; first in line for the r6 window rotation
+# late-r5 additions, rotated IN-window the same round they were built:
+# repo-harness value-exact at both SFs; displaced pivot_events and
+# correlated_above_avg (driver-green r1-r4) into the overflow below so
+# these two earn their first driver rows immediately.
 _reg(
     "bigram_novelty_scores",
     q_bigram_novelty_scores,
@@ -4330,18 +4598,27 @@ _reg(
     q_full_outer_reconcile,
     _sql_full_outer_reconcile(),
 )
+# new-this-round ops enter the window immediately (displacing
+# distinct_agg / cube_events, driver-green r1-r4, into the overflow):
+# substring-level exact-dup spans and BM25 ranked retrieval
+_reg("dup_span_stats", q_dup_span_stats, _sql_dup_span_stats())
+_reg("bm25_topk", q_bm25_topk, _sql_bm25_topk())
 
-# Registered LAST among the value-exact set ON PURPOSE: with 63
+# Registered LAST among the value-exact set ON PURPOSE: with 65
 # oracle-backed queries the driver's 50-entry window overflows by
-# thirteen (incl. bigram_novelty_scores and full_outer_reconcile above,
-# the late-r5 adds awaiting the r6 rotation), and the rest are the right
-# sacrifice — the five function
+# fifteen, and these are the right sacrifice — the five function
 # batteries are driver-green in committed CORRECTNESS_r01+r02(+r03),
-# array/map/time_window/json_roundtrip in r01/r02-r04, and the
+# array/map/time_window/json_roundtrip in r01/r02-r04,
+# pivot_events/correlated_above_avg/distinct_agg/cube_events in r01-r04
+# (displaced late-r5 so the four new VE ops get driver rows), and the
 # image/audio meta twins in r04 with the multimodal meta FAMILY now
 # driver-covered in-window by the video twins above (exactly the
 # rationale that previously kept video out in favor of image/audio —
 # inverted now that video needs its first driver row).
+_reg("pivot_events", q_pivot_events, _sql_pivot_events())
+_reg("correlated_above_avg", q_correlated_above_avg, _sql_correlated_above_avg())
+_reg("distinct_agg", q_distinct_agg, _sql_distinct_agg())
+_reg("cube_events", q_cube_events, _sql_cube_events())
 _reg("set_ops", q_set_ops, _sql_set_ops())
 _reg("json_funcs", q_json_funcs, _sql_json_funcs())
 _reg("date_funcs", q_date_funcs, _sql_date_funcs())

@@ -361,3 +361,42 @@ def test_triangle_closing_probe_broadcast_is_gated(spark, monkeypatch):
         assert big.collect() == rows_fast
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bm25_scan_once_no_explode(spark):
+    """BM25's scoring pass must stay in the scan-once shape the docstring
+    claims: per-term tf via higher-order F.filter (no Generate/explode,
+    no posting-list shuffle), corpus stats as ONE 1-row broadcast cross
+    join, and top-k via TakeOrderedAndProject — never a global sort."""
+    from engine.queries import q_bm25_topk
+
+    plan = _plan(q_bm25_topk(spark, SF))
+    assert "Generate" not in plan, plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+    # the stats row rides one identity-broadcast cross join; nothing else
+    # may introduce a nested-loop join
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "IdentityBroadcastMode" in plan
+    # whole pipeline is JVM expressions — no Python eval anywhere
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInArrow",
+                   "FlatMapGroupsInPandas", "MapInPandas"):
+        assert marker not in plan, marker
+
+
+def test_dup_span_stats_counts_by_agg_not_window(spark):
+    """Gram occurrence counts must come from groupBy + join-back (map-side
+    partial agg, AQE-splittable join), NEVER a count-over-window keyed on
+    the gram — a mega-hot gram would buffer its whole position list in
+    one task. Windows may partition only by doc_id (bounded keys, span
+    merge)."""
+    from engine.queries import q_dup_span_stats
+
+    plan = _plan(q_dup_span_stats(spark, SF))
+    assert "windowspecdefinition(gram" not in plan, plan
+    assert "windowspecdefinition(doc_id" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInArrow",
+                   "FlatMapGroupsInPandas", "MapInPandas"):
+        assert marker not in plan, marker

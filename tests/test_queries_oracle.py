@@ -66,21 +66,25 @@ def test_registry_driver_window_covers_value_exact():
     else:
         # Round-5 rotation: every overflow member has >=1 committed
         # driver-green CORRECTNESS row (batteries r1-r3, array/map r1-r4,
-        # image/audio meta r4); the four queries that had NO driver row
-        # (video twins, keyword_search_topk, triangle_parts) must be
-        # IN-window this round.
+        # pivot/correlated r1-r4, image/audio meta r4); the queries that
+        # had NO driver row (video twins, keyword_search_topk,
+        # triangle_parts, and the late-r5 bigram_novelty_scores /
+        # full_outer_reconcile) must be IN-window this round.
         assert overflow == {
             "string_funcs", "math_funcs", "date_funcs", "set_ops",
             "json_funcs", "array_funcs", "map_funcs", "time_window_agg",
             "json_roundtrip",
             "multimodal_image_meta", "multimodal_audio_meta",
-            # late-r5 ops past window capacity (repo-harness value-exact,
-            # no driver row YET): first in line for the r6 rotation
-            "bigram_novelty_scores", "full_outer_reconcile",
+            # displaced late-r5 (driver-green r1-r4) so the four new VE
+            # ops above earn driver rows the round they were built
+            "pivot_events", "correlated_above_avg",
+            "distinct_agg", "cube_events",
         }, overflow
         for must_be_in in (
             "multimodal_video_meta", "multimodal_video_frames",
             "keyword_search_topk", "triangle_parts",
+            "bigram_novelty_scores", "full_outer_reconcile",
+            "dup_span_stats", "bm25_topk",
         ):
             assert must_be_in in names[:50], must_be_in
 
