@@ -140,6 +140,7 @@ HEADLINE = [
     "full_outer_reconcile",
     "dup_span_stats",
     "bm25_topk",
+    "kmeans_clusters",
 ]
 
 

@@ -400,3 +400,20 @@ def test_dup_span_stats_counts_by_agg_not_window(spark):
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInArrow",
                    "FlatMapGroupsInPandas", "MapInPandas"):
         assert marker not in plan, marker
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark):
+    """Every Lloyd round must score points against a BROADCAST centroid
+    set (K-row nested loop, map-side) — a point never shuffles to reach
+    a centroid; the only hash exchanges carry partial-aggregated
+    (vec_id-argmin / cid-sum) rows. All-JVM: no Python eval, no
+    cartesian fallback."""
+    from engine.queries import KMEANS_ITERS, q_kmeans_clusters
+
+    plan = _plan(q_kmeans_clusters(spark, SF, _checkpoint=False))
+    assert plan.count("BroadcastNestedLoopJoin") == KMEANS_ITERS, plan
+    assert plan.count("IdentityBroadcastMode") == KMEANS_ITERS, plan
+    assert "CartesianProduct" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInArrow",
+                   "FlatMapGroupsInPandas", "MapInPandas"):
+        assert marker not in plan, marker

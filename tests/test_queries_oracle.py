@@ -75,16 +75,16 @@ def test_registry_driver_window_covers_value_exact():
             "json_funcs", "array_funcs", "map_funcs", "time_window_agg",
             "json_roundtrip",
             "multimodal_image_meta", "multimodal_audio_meta",
-            # displaced late-r5 (driver-green r1-r4) so the four new VE
-            # ops above earn driver rows the round they were built
+            # displaced late-r5 (driver-green r1-r4) so the new VE ops
+            # earn driver rows the round they were built
             "pivot_events", "correlated_above_avg",
-            "distinct_agg", "cube_events",
+            "distinct_agg", "cube_events", "quality_score",
         }, overflow
         for must_be_in in (
             "multimodal_video_meta", "multimodal_video_frames",
             "keyword_search_topk", "triangle_parts",
             "bigram_novelty_scores", "full_outer_reconcile",
-            "dup_span_stats", "bm25_topk",
+            "dup_span_stats", "bm25_topk", "kmeans_clusters",
         ):
             assert must_be_in in names[:50], must_be_in
 
@@ -228,3 +228,22 @@ def test_approx_distinct_within_5pct(spark):
     )
     assert abs(approx["approx_users"] - exact["u"]) <= 0.05 * exact["u"]
     assert abs(approx["approx_events"] - exact["e"]) <= 0.05 * exact["e"]
+
+
+def test_kmeans_partition_invariant(spark):
+    """The value-exactness argument for q_kmeans_clusters is that cluster
+    state is order-free (integer sum vectors) and doubles only decide
+    argmins via engine-deterministic expressions — so the result must be
+    IDENTICAL under a different shuffle partitioning, not merely close."""
+    from engine.queries import q_kmeans_clusters
+
+    sf = "/root/testdata/sf0.01"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    base = [r.asDict() for r in q_kmeans_clusters(spark, sf).collect()]
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        alt = [r.asDict() for r in q_kmeans_clusters(spark, sf).collect()]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert base == alt
+    assert len(base) == 8
