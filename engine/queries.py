@@ -3159,6 +3159,202 @@ def _sql_bigram_novelty_scores():
     """
 
 
+BPE_ROUNDS = 3
+BPE_VOCAB_CAP = 1024
+# 2..12 lowercase ascii: >=2 chars so every word starts with >=1 mergeable
+# pair; the cap bounds symbol-array width for the fold
+BPE_WORD_RE = "^[a-z]{2,12}$"
+
+
+def _bpe_merge_fold(syms, pa, pb):
+    """Greedy left-to-right non-overlapping merge of adjacent pair
+    (pa, pb) inside a symbol array — the standard BPE merge-application
+    pass, as a single JVM fold (F.aggregate): if the accumulator's last
+    symbol is pa and the incoming symbol is pb, replace the tail with the
+    merged symbol (which is then NOT eligible to re-merge in this pass —
+    exactly the non-overlap rule); else append. All arguments are
+    attributes (named columns), so the interpreted-HOF re-evaluation trap
+    (memory: lambda child re-eval) does not bite."""
+    return F.aggregate(
+        syms,
+        F.expr("CAST(array() AS ARRAY<STRING>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == pa)
+            & (x == pb),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(pa, pb)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def q_bpe_train_merges(spark, sf_dir, _checkpoint=True):
+    """Relational BPE tokenizer training — the corpus-scale op every LLM
+    pipeline runs exactly once before anything tokenizes: learn the first
+    3 byte-pair merges from the corpus word histogram (Sennrich et al.
+    2016 semantics: count adjacent symbol pairs weighted by word
+    frequency, merge the globally most frequent pair everywhere, repeat).
+    Output: one row per merge round — the learned pair, its corpus pair
+    count, and the total corpus token count after applying the merge
+    (proving the merge APPLICATION is exact, not just the argmax).
+    Value-exact vs a 3-round unrolled DuckDB twin whose merge pass is the
+    same fold via list_reduce; ties broken (count DESC, pa ASC, pb ASC)
+    so the argmax is engine-independent.
+
+    Scale: the ONLY corpus-size-dependent stage is the word histogram —
+    one map-side-combined groupBy. Everything after operates on the
+    vocabulary table (capped top-1024 by (count, word): deterministic,
+    and the honest statement that BPE training is histogram-sized, not
+    corpus-sized — at 100 TB the histogram is ~1e7 rows regardless of
+    input size). Per round: pair counting explodes a cheap index sequence
+    (memory: explode-cheap-side), the argmax is a vocab²-bounded
+    sort-limit, and the merge pass is map-side with the 1-row best pair
+    broadcast — no corpus rescan ever. Per-round localCheckpoint is the
+    pagerank/kmeans fixpoint treatment."""
+    d = _t(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            F.explode(
+                F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+            ).alias("w")
+        )
+        .where(F.col("w").rlike(BPE_WORD_RE))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("w").asc())
+        .limit(BPE_VOCAB_CAP)
+    )
+    # chars of w via transform-over-positions (NOT split(w, '(?!^)'):
+    # Spark's split keeps the trailing empty match under its default
+    # limit=-1, growing every word a phantom '' symbol)
+    cur = words.select(
+        "w",
+        "cnt",
+        F.expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+        ).alias("syms"),
+    )
+    if _checkpoint:
+        # the histogram feeds every round's pair count AND merge pass;
+        # truncate so it computes once
+        cur = cur.localCheckpoint(eager=False)
+    out = []
+    for r in range(1, BPE_ROUNDS + 1):
+        pairs = (
+            cur.where(F.size("syms") >= 2)
+            .select(
+                "cnt",
+                "syms",
+                F.explode(
+                    F.sequence(F.lit(1), F.size("syms") - 1)
+                ).alias("i"),
+            )
+            .select(
+                F.element_at("syms", F.col("i")).alias("pa"),
+                F.element_at("syms", F.col("i") + 1).alias("pb"),
+                "cnt",
+            )
+        )
+        best = (
+            pairs.groupBy("pa", "pb")
+            .agg(F.sum("cnt").alias("pc"))
+            .orderBy(
+                F.col("pc").desc(), F.col("pa").asc(), F.col("pb").asc()
+            )
+            .limit(1)
+            .select(
+                F.col("pa").alias("mpa"),
+                F.col("pb").alias("mpb"),
+                F.col("pc").alias("mpc"),
+            )
+        )
+        merged = cur.crossJoin(F.broadcast(best)).select(
+            "w",
+            "cnt",
+            "mpa",
+            "mpb",
+            "mpc",
+            _bpe_merge_fold(
+                F.col("syms"), F.col("mpa"), F.col("mpb")
+            ).alias("syms"),
+        )
+        if _checkpoint:
+            merged = merged.localCheckpoint(eager=False)
+        out.append(
+            merged.groupBy("mpa", "mpb", "mpc")
+            .agg(
+                F.sum(F.col("cnt") * F.size("syms")).alias("tokens_after")
+            )
+            .select(
+                F.lit(r).alias("merge_round"),
+                F.col("mpa").alias("pair_a"),
+                F.col("mpb").alias("pair_b"),
+                F.col("mpc").cast("long").alias("pair_count"),
+                F.col("tokens_after").cast("long").alias("tokens_after"),
+            )
+        )
+        cur = merged.select("w", "cnt", "syms")
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def _sql_bpe_train_merges():
+    # list_reduce's accumulator is a chr(31)-joined string whose initial
+    # value is the FIRST symbol (DuckDB fold semantics) — identical to the
+    # Spark fold's state after element 1 under its empty-array init; the
+    # last accumulated symbol is the segment after the final chr(31)
+    fold = (
+        "string_split(list_reduce(s, (acc, x) -> CASE WHEN "
+        "regexp_extract(acc, '([^\\x1f]*)$', 1) = b{r}.mpa AND x = b{r}.mpb "
+        "THEN concat(regexp_replace(acc, '([^\\x1f]*)$', ''), "
+        "b{r}.mpa || b{r}.mpb) "
+        "ELSE concat(acc, chr(31), x) END), chr(31))"
+    )
+    rounds = []
+    for r in range(1, BPE_ROUNDS + 1):
+        rounds.append(
+            f"""p{r} AS (
+      SELECT s[i] AS pa, s[i + 1] AS pb, CAST(sum(cnt) AS BIGINT) AS pc
+      FROM (SELECT cnt, s, unnest(range(1, len(s))) AS i
+            FROM s{r - 1} WHERE len(s) >= 2)
+      GROUP BY 1, 2),
+    b{r} AS (
+      SELECT pa AS mpa, pb AS mpb, pc AS mpc FROM p{r}
+      ORDER BY pc DESC, pa ASC, pb ASC LIMIT 1),
+    s{r} AS (
+      SELECT w, cnt, {fold.format(r=r)} AS s, mpa, mpb, mpc
+      FROM (SELECT w, cnt, s FROM s{r - 1}) CROSS JOIN b{r}),
+    r{r} AS (
+      SELECT CAST({r} AS INTEGER) AS merge_round, mpa AS pair_a,
+             mpb AS pair_b, mpc AS pair_count,
+             CAST(sum(cnt * len(s)) AS BIGINT) AS tokens_after
+      FROM s{r} GROUP BY mpa, mpb, mpc)"""
+        )
+    body = ",\n    ".join(rounds)
+    union = "\n    UNION ALL ".join(
+        f"SELECT * FROM r{r}" for r in range(1, BPE_ROUNDS + 1)
+    )
+    return f"""
+    WITH words0 AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS w
+            FROM documents)
+      WHERE regexp_full_match(w, '{BPE_WORD_RE.strip("^$")}')
+      GROUP BY w ORDER BY cnt DESC, w ASC LIMIT {BPE_VOCAB_CAP}),
+    s0 AS (
+      SELECT w, cnt,
+             list_transform(range(1, length(w) + 1),
+                            i -> substring(w, i, 1)) AS s
+      FROM words0),
+    {body}
+    {union}
+    """
+
+
 SOURCE_CAP_K = 50
 
 
@@ -4834,6 +5030,11 @@ _reg(
     q_multimodal_audio_meta,
     _sql_multimodal_audio_meta(),
 )
+# Built after the round-5 window was finalized, so it registers LAST among
+# the value-exact set ON PURPOSE: rotating it in now would displace one of
+# the ten queries earning their FIRST driver row this round. It is the
+# r6 rotation head (repo-harness value-exact at all SFs meanwhile).
+_reg("bpe_train_merges", q_bpe_train_merges, _sql_bpe_train_merges())
 
 # Rows-only queries in descending driver-visibility priority (they fill
 # whatever slots remain under the driver's 50-entry window after the

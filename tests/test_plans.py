@@ -402,6 +402,29 @@ def test_dup_span_stats_counts_by_agg_not_window(spark):
         assert marker not in plan, marker
 
 
+def test_bpe_merge_pass_broadcast_jvm(spark):
+    """Every BPE round's merge pass must apply the 1-row best-pair via a
+    BROADCAST nested loop onto the vocabulary table (map-side — the
+    histogram never shuffles to meet the argmax), with the fold itself a
+    JVM higher-order aggregate: no Python eval anywhere, no cartesian
+    fallback, and the per-round argmax as TakeOrderedAndProject (a
+    vocab²-bounded sort-limit, never a global sort)."""
+    from engine.queries import BPE_ROUNDS, q_bpe_train_merges
+
+    plan = _plan(q_bpe_train_merges(spark, SF, _checkpoint=False))
+    # un-checkpointed, each round's summary re-embeds every prior round's
+    # merge join, so the count exceeds BPE_ROUNDS; the contract is that
+    # merge application is ALWAYS the broadcast shape, never a shuffle
+    assert plan.count("BroadcastNestedLoopJoin") >= BPE_ROUNDS, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInArrow",
+                   "FlatMapGroupsInPandas", "MapInPandas"):
+        assert marker not in plan, marker
+
+
 def test_kmeans_assignment_broadcasts_centroids(spark):
     """Every Lloyd round must score points against a BROADCAST centroid
     set (K-row nested loop, map-side) — a point never shuffles to reach

@@ -79,6 +79,10 @@ def test_registry_driver_window_covers_value_exact():
             # earn driver rows the round they were built
             "pivot_events", "correlated_above_avg",
             "distinct_agg", "cube_events", "quality_score",
+            # built AFTER the r5 window was finalized; rotating it in
+            # would displace a query earning its first driver row this
+            # round, so it waits as the r6 rotation head
+            "bpe_train_merges",
         }, overflow
         for must_be_in in (
             "multimodal_video_meta", "multimodal_video_frames",
@@ -228,6 +232,39 @@ def test_approx_distinct_within_5pct(spark):
     )
     assert abs(approx["approx_users"] - exact["u"]) <= 0.05 * exact["u"]
     assert abs(approx["approx_events"] - exact["e"]) <= 0.05 * exact["e"]
+
+
+def test_bpe_merge_fold_semantics(spark):
+    """The BPE merge pass must implement greedy LEFT-TO-RIGHT
+    NON-OVERLAPPING replacement (Sennrich et al. merge semantics): in
+    a-a-a-a with merge (a,a), the first merge consumes tokens 1-2, the
+    second consumes 3-4 ([aa, aa]); in a-a-a the merged 'aa' is NOT
+    eligible to re-merge with the trailing 'a' ([aa, a]). A naive
+    string-replace with shared delimiters gets a-a-a-a WRONG
+    ([aa, a, a]) — which is exactly why both engines use the same fold."""
+    import pyspark.sql.functions as F
+
+    from engine.queries import _bpe_merge_fold
+
+    df = spark.createDataFrame(
+        [
+            (["a", "a", "a", "a"],),
+            (["a", "a", "a"],),
+            (["b", "a", "a"],),
+            (["a", "b", "a", "a", "a"],),
+            (["b"],),
+        ],
+        "syms array<string>",
+    ).select(
+        _bpe_merge_fold(F.col("syms"), F.lit("a"), F.lit("a")).alias("m")
+    )
+    assert [r.m for r in df.collect()] == [
+        ["aa", "aa"],
+        ["aa", "a"],
+        ["b", "aa"],
+        ["a", "b", "aa", "a"],
+        ["b"],
+    ]
 
 
 def test_kmeans_partition_invariant(spark):
