@@ -1614,12 +1614,14 @@ KMEANS_DIM = 64
 KMEANS_SCALE = 1000
 
 
-def _kmeans_quant(col):
-    # floor(x*1000 + 0.5): half-up without round()'s engine-specific tie
+def _kmeans_quant(col, scale=KMEANS_SCALE):
+    # floor(x*scale + 0.5): half-up without round()'s engine-specific tie
     # behavior — the module's epoch-floor convention applied to vectors
+    # (scale 1000 for kmeans; 100 for semdedup, whose pair products must
+    # also stay in int64)
     return F.transform(
         col,
-        lambda x: F.floor(x.cast("double") * KMEANS_SCALE + F.lit(0.5)).cast(
+        lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast(
             "long"
         ),
     )
@@ -1789,6 +1791,205 @@ def _sql_kmeans_clusters():
            CAST(sum({mass}) AS BIGINT) AS total_mass,
            min(vec_id) AS min_vec, max(vec_id) AS max_vec
     FROM a{KMEANS_ITERS} GROUP BY cid ORDER BY cid
+    """
+
+
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540) cluster-then-prune
+# semantic dedup, made value-exact: quantization scale 100 keeps every
+# pair statistic far inside int64 (|q_d| <= ~100 -> dot <= 64*10^4,
+# TAU_DEN^2 * dot^2 <= 100 * 4.1e11 ~ 4.1e13), and the cosine threshold
+# is the rational 3/10 compared in cross-multiplied integer space — no
+# sqrt, no division, no doubles anywhere in the operator.
+SEMDEDUP_K = 8
+SEMDEDUP_DIM = 64
+SEMDEDUP_SCALE = 100
+SEMDEDUP_TAU_NUM = 3  # cosine threshold 3/10 = the battery's 0.30
+SEMDEDUP_TAU_DEN = 10
+
+
+def _sd_terms(fmt):
+    return " + ".join(fmt.format(d=d) for d in range(1, SEMDEDUP_DIM + 1))
+
+
+def q_semdedup_prune(spark, sf_dir):
+    """SemDeDup semantic dedup as a relational curation decision: Voronoi-
+    partition the embedding space over the K=8 smallest-vec_id seed
+    points (one assignment round — production swaps the full k-means of
+    q_kmeans_clusters or the IVF index in, orthogonal to the prune
+    mechanics), then inside each cell prune every vector that has an
+    EARLIER (smaller vec_id) cell-mate with cosine >= 0.30, keeping the
+    earliest representative per near-dup neighborhood. Output: per-cell
+    keep/prune accounting.
+
+    Exactness: everything is integer. Quantized coordinates make the
+    seed distance a pure-BIGINT squared-L2 (argmin + cid-asc tie-break is
+    engine-independent with no floating point at all — one step STRONGER
+    than kmeans' correctly-rounded-double argument), and the cosine
+    threshold compares TAU_DEN^2*dot^2 >= TAU_NUM^2*|a|^2*|b|^2 with
+    dot > 0, i.e. the rational threshold cross-multiplied into int64.
+    Validity domain: 64-wide non-null vectors whose QUANTIZED norm is
+    positive; a null element nulls the explicit 64-term sum in both
+    engines (the twin avoids list_sum precisely because DuckDB's
+    list_sum skips nulls where Spark's fold propagates them).
+
+    Scale: assignment is a K-row broadcast nested loop, map-side, then
+    one groupBy(vec_id) argmin collapse; pair generation is an equi-join
+    on cid — CELL-bounded, not corpus-bounded, which is the entire
+    SemDeDup bargain (K grows with the corpus so cells stay ~constant).
+    The O(sum nc^2) pair stage shares the oracle kernel's enforced
+    quarantine: above ORACLE_KERNEL_MAX_ROWS input vectors this raises —
+    at real scale you raise K, you don't widen cells."""
+    e = _t_spread(spark, sf_dir, "embeddings")
+    n2 = F.expr(_sd_terms("element_at(q, {d}) * element_at(q, {d})"))
+    pts = (
+        e.where(
+            F.col("embedding").isNotNull()
+            & (F.size("embedding") == SEMDEDUP_DIM)
+        )
+        .select(
+            "vec_id",
+            _kmeans_quant(F.col("embedding"), SEMDEDUP_SCALE).alias("q"),
+        )
+        .withColumn("n2", n2)
+        .where(F.col("n2") > 0)
+    )
+    n = pts.limit(ORACLE_KERNEL_MAX_ROWS + 1).count()
+    if n > ORACLE_KERNEL_MAX_ROWS:
+        raise RuntimeError(
+            f"semdedup_prune's within-cell pair stage is quarantined at "
+            f"{ORACLE_KERNEL_MAX_ROWS} vectors with fixed K={SEMDEDUP_K}; "
+            "at scale, K grows with the corpus (cells stay bounded) — "
+            "re-partition with a larger seed set"
+        )
+    seeds = (
+        pts.orderBy("vec_id")
+        .limit(SEMDEDUP_K)
+        .select(F.col("vec_id").alias("cid"), F.col("q").alias("s"))
+    )
+    dist = F.expr(
+        _sd_terms(
+            "(element_at(q, {d}) - element_at(s, {d}))"
+            " * (element_at(q, {d}) - element_at(s, {d}))"
+        )
+    )
+    asg = (
+        pts.crossJoin(F.broadcast(seeds))
+        .select(
+            "vec_id",
+            F.struct(dist.alias("dist"), "cid", "q", "n2").alias("sc"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("sc").alias("m"))
+        .select(
+            "vec_id",
+            F.col("m.cid").alias("cid"),
+            F.col("m.q").alias("q"),
+            F.col("m.n2").alias("n2"),
+        )
+    )
+    a = asg.select(
+        "cid",
+        F.col("vec_id").alias("va"),
+        F.col("q").alias("qa"),
+        F.col("n2").alias("na2"),
+    )
+    b = asg.select(
+        "cid",
+        F.col("vec_id").alias("vb"),
+        F.col("q").alias("qb"),
+        F.col("n2").alias("nb2"),
+    )
+    # The pair stage's dot is a compact JVM zip_with+aggregate integer
+    # fold, NOT the 64-term expression the assignment stage uses: the
+    # filter references `dot` more than once, Catalyst inlines the alias
+    # into the fused join+filter stage, and >=2 copies of a 64-term tree
+    # blow janino's 64 KB method limit (measured: whole-stage codegen
+    # fell back to interpreted for the entire join stage — strictly worse
+    # than two small interpreted folds inside a compiled stage). Integer
+    # addition is associative-exact, so fold order is irrelevant to
+    # parity. dot*abs(dot) is the SIGNED square: >= a positive RHS
+    # implies dot > 0, collapsing the predicate to two alias references.
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pruned = (
+        a.join(b, "cid")
+        .where(F.col("va") < F.col("vb"))
+        .select("cid", "vb", dot.alias("dot"), "na2", "nb2")
+        .where(
+            F.lit(SEMDEDUP_TAU_DEN * SEMDEDUP_TAU_DEN)
+            * F.col("dot")
+            * F.abs(F.col("dot"))
+            >= F.lit(SEMDEDUP_TAU_NUM * SEMDEDUP_TAU_NUM)
+            * F.col("na2")
+            * F.col("nb2")
+        )
+        .select("cid", F.col("vb").alias("vec_id"))
+        .distinct()
+        .withColumn("_p", F.lit(1))
+    )
+    return (
+        asg.join(pruned, ["cid", "vec_id"], "left")
+        .groupBy("cid")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.count("_p").alias("n_pruned"),
+            (F.count("*") - F.count("_p")).alias("n_kept"),
+            F.min("vec_id").alias("min_vec"),
+            F.sum(
+                F.when(F.col("_p").isNotNull(), F.col("vec_id")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("pruned_id_sum"),
+        )
+        .orderBy("cid")
+    )
+
+
+def _sql_semdedup_prune():
+    quant = (
+        f"list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+        f" * {SEMDEDUP_SCALE} + 0.5) AS BIGINT))"
+    )
+    n2 = _sd_terms("q[{d}] * q[{d}]")
+    dist = _sd_terms("(p.q[{d}] - c.s[{d}]) * (p.q[{d}] - c.s[{d}])")
+    dot = _sd_terms("a.q[{d}] * b.q[{d}]")
+    t2n, t2d = SEMDEDUP_TAU_NUM**2, SEMDEDUP_TAU_DEN**2
+    return f"""
+    WITH pts AS (
+      SELECT vec_id, q, n2 FROM (
+        SELECT vec_id, q, {n2} AS n2
+        FROM (SELECT vec_id, {quant} AS q FROM embeddings
+              WHERE embedding IS NOT NULL
+                AND len(embedding) = {SEMDEDUP_DIM}))
+      WHERE n2 > 0),
+    seeds AS (
+      SELECT vec_id AS cid, q AS s FROM pts
+      ORDER BY vec_id LIMIT {SEMDEDUP_K}),
+    asg AS (
+      SELECT vec_id, cid, q, n2 FROM (
+        SELECT p.vec_id, c.cid, p.q, p.n2,
+               row_number() OVER (PARTITION BY p.vec_id
+                                  ORDER BY {dist} ASC, c.cid ASC) AS rn
+        FROM pts p CROSS JOIN seeds c)
+      WHERE rn = 1),
+    pruned AS (
+      SELECT a.cid, b.vec_id
+      FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE {t2d} * ({dot}) * abs({dot}) >= {t2n} * a.n2 * b.n2
+      GROUP BY a.cid, b.vec_id)
+    SELECT g.cid,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(count(p.vec_id) AS BIGINT) AS n_pruned,
+           CAST(count(*) - count(p.vec_id) AS BIGINT) AS n_kept,
+           min(g.vec_id) AS min_vec,
+           CAST(sum(CASE WHEN p.vec_id IS NOT NULL THEN g.vec_id
+                         ELSE 0 END) AS BIGINT) AS pruned_id_sum
+    FROM asg g LEFT JOIN pruned p
+      ON g.cid = p.cid AND g.vec_id = p.vec_id
+    GROUP BY g.cid ORDER BY g.cid
     """
 
 
@@ -5035,6 +5236,7 @@ _reg(
 # the ten queries earning their FIRST driver row this round. It is the
 # r6 rotation head (repo-harness value-exact at all SFs meanwhile).
 _reg("bpe_train_merges", q_bpe_train_merges, _sql_bpe_train_merges())
+_reg("semdedup_prune", q_semdedup_prune, _sql_semdedup_prune())
 
 # Rows-only queries in descending driver-visibility priority (they fill
 # whatever slots remain under the driver's 50-entry window after the

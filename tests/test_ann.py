@@ -131,3 +131,24 @@ def test_oracle_kernel_refuses_above_cap(spark, tmp_path, monkeypatch):
         Q.q_embedding_neardup_pairs(spark, sf)
     monkeypatch.setattr(Q, "ORACLE_KERNEL_MAX_ROWS", 10_000)
     assert Q.q_embedding_neardup_pairs(spark, sf).count() >= 0
+
+
+def test_semdedup_quarantine_and_representative_rule(spark, monkeypatch):
+    """semdedup_prune shares the oracle kernel's enforced quarantine (its
+    within-cell pair stage is O(sum nc^2) at fixed K), and its keep rule
+    is deterministic: the smallest vec_id in a cell is by construction
+    never prunable (every qualifying pair has va < vb), so min_vec is a
+    kept representative and n_kept >= 1 in every non-empty cell."""
+    import engine.queries as Q
+    import pytest as _pt
+
+    sf = "/root/testdata/sf0.001"
+    monkeypatch.setattr(Q, "ORACLE_KERNEL_MAX_ROWS", 3)
+    with _pt.raises(RuntimeError, match="quarantined"):
+        Q.q_semdedup_prune(spark, sf)
+    monkeypatch.setattr(Q, "ORACLE_KERNEL_MAX_ROWS", 10_000)
+    rows = Q.q_semdedup_prune(spark, sf).collect()
+    assert rows, "non-empty testdata must produce cells"
+    for r in rows:
+        assert r.n_kept >= 1
+        assert r.n_points == r.n_kept + r.n_pruned

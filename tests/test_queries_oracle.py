@@ -79,10 +79,10 @@ def test_registry_driver_window_covers_value_exact():
             # earn driver rows the round they were built
             "pivot_events", "correlated_above_avg",
             "distinct_agg", "cube_events", "quality_score",
-            # built AFTER the r5 window was finalized; rotating it in
+            # built AFTER the r5 window was finalized; rotating them in
             # would displace a query earning its first driver row this
-            # round, so it waits as the r6 rotation head
-            "bpe_train_merges",
+            # round, so they wait as the r6 rotation head
+            "bpe_train_merges", "semdedup_prune",
         }, overflow
         for must_be_in in (
             "multimodal_video_meta", "multimodal_video_frames",
