@@ -3391,6 +3391,38 @@ def _bpe_merge_fold(syms, pa, pb):
     )
 
 
+def _bpe_best(cur):
+    """The per-round argmax: most frequent adjacent symbol pair weighted
+    by word count, ties broken (count DESC, pa ASC, pb ASC) so the choice
+    is engine-independent. Pair counting explodes a cheap index sequence
+    (memory: explode-cheap-side); the argmax is a vocab²-bounded
+    sort-limit (TakeOrderedAndProject), never a global sort."""
+    pairs = (
+        cur.where(F.size("syms") >= 2)
+        .select(
+            "cnt",
+            "syms",
+            F.explode(F.sequence(F.lit(1), F.size("syms") - 1)).alias("i"),
+        )
+        .select(
+            F.element_at("syms", F.col("i")).alias("pa"),
+            F.element_at("syms", F.col("i") + 1).alias("pb"),
+            "cnt",
+        )
+    )
+    return (
+        pairs.groupBy("pa", "pb")
+        .agg(F.sum("cnt").alias("pc"))
+        .orderBy(F.col("pc").desc(), F.col("pa").asc(), F.col("pb").asc())
+        .limit(1)
+        .select(
+            F.col("pa").alias("mpa"),
+            F.col("pb").alias("mpb"),
+            F.col("pc").alias("mpc"),
+        )
+    )
+
+
 def q_bpe_train_merges(spark, sf_dir, _checkpoint=True):
     """Relational BPE tokenizer training — the corpus-scale op every LLM
     pipeline runs exactly once before anything tokenizes: learn the first
@@ -3443,34 +3475,7 @@ def q_bpe_train_merges(spark, sf_dir, _checkpoint=True):
         cur = cur.localCheckpoint(eager=False)
     out = []
     for r in range(1, BPE_ROUNDS + 1):
-        pairs = (
-            cur.where(F.size("syms") >= 2)
-            .select(
-                "cnt",
-                "syms",
-                F.explode(
-                    F.sequence(F.lit(1), F.size("syms") - 1)
-                ).alias("i"),
-            )
-            .select(
-                F.element_at("syms", F.col("i")).alias("pa"),
-                F.element_at("syms", F.col("i") + 1).alias("pb"),
-                "cnt",
-            )
-        )
-        best = (
-            pairs.groupBy("pa", "pb")
-            .agg(F.sum("cnt").alias("pc"))
-            .orderBy(
-                F.col("pc").desc(), F.col("pa").asc(), F.col("pb").asc()
-            )
-            .limit(1)
-            .select(
-                F.col("pa").alias("mpa"),
-                F.col("pb").alias("mpb"),
-                F.col("pc").alias("mpc"),
-            )
-        )
+        best = _bpe_best(cur)
         merged = cur.crossJoin(F.broadcast(best)).select(
             "w",
             "cnt",
@@ -3503,18 +3508,27 @@ def q_bpe_train_merges(spark, sf_dir, _checkpoint=True):
     return res
 
 
-def _sql_bpe_train_merges():
-    # list_reduce's accumulator is a chr(31)-joined string whose initial
-    # value is the FIRST symbol (DuckDB fold semantics) — identical to the
-    # Spark fold's state after element 1 under its empty-array init; the
-    # last accumulated symbol is the segment after the final chr(31)
-    fold = (
-        "string_split(list_reduce(s, (acc, x) -> CASE WHEN "
-        "regexp_extract(acc, '([^\\x1f]*)$', 1) = b{r}.mpa AND x = b{r}.mpb "
-        "THEN concat(regexp_replace(acc, '([^\\x1f]*)$', ''), "
-        "b{r}.mpa || b{r}.mpb) "
-        "ELSE concat(acc, chr(31), x) END), chr(31))"
-    )
+# list_reduce's accumulator is a chr(31)-joined string whose initial
+# value is the FIRST symbol (DuckDB fold semantics) — identical to the
+# Spark fold's state after element 1 under its empty-array init; the
+# last accumulated symbol is the segment after the final chr(31)
+_BPE_FOLD_SQL = (
+    "string_split(list_reduce(s, (acc, x) -> CASE WHEN "
+    "regexp_extract(acc, '([^\\x1f]*)$', 1) = b{r}.mpa AND x = b{r}.mpb "
+    "THEN concat(regexp_replace(acc, '([^\\x1f]*)$', ''), "
+    "b{r}.mpa || b{r}.mpb) "
+    "ELSE concat(acc, chr(31), x) END), chr(31))"
+)
+
+_BPE_SYMS_SQL = (
+    "list_transform(range(1, length(w) + 1), i -> substring(w, i, 1))"
+)
+
+
+def _sql_bpe_round_ctes():
+    """The p{r}/b{r}/s{r} training-round CTE chain (pair count, argmax,
+    merge application over the capped vocab s0) shared by the train and
+    encode twins."""
     rounds = []
     for r in range(1, BPE_ROUNDS + 1):
         rounds.append(
@@ -3527,9 +3541,17 @@ def _sql_bpe_train_merges():
       SELECT pa AS mpa, pb AS mpb, pc AS mpc FROM p{r}
       ORDER BY pc DESC, pa ASC, pb ASC LIMIT 1),
     s{r} AS (
-      SELECT w, cnt, {fold.format(r=r)} AS s, mpa, mpb, mpc
-      FROM (SELECT w, cnt, s FROM s{r - 1}) CROSS JOIN b{r}),
-    r{r} AS (
+      SELECT w, cnt, {_BPE_FOLD_SQL.format(r=r)} AS s, mpa, mpb, mpc
+      FROM (SELECT w, cnt, s FROM s{r - 1}) CROSS JOIN b{r})"""
+        )
+    return rounds
+
+
+def _sql_bpe_train_merges():
+    rounds = _sql_bpe_round_ctes()
+    for r in range(1, BPE_ROUNDS + 1):
+        rounds.append(
+            f"""r{r} AS (
       SELECT CAST({r} AS INTEGER) AS merge_round, mpa AS pair_a,
              mpb AS pair_b, mpc AS pair_count,
              CAST(sum(cnt * len(s)) AS BIGINT) AS tokens_after
@@ -3547,12 +3569,122 @@ def _sql_bpe_train_merges():
       WHERE regexp_full_match(w, '{BPE_WORD_RE.strip("^$")}')
       GROUP BY w ORDER BY cnt DESC, w ASC LIMIT {BPE_VOCAB_CAP}),
     s0 AS (
-      SELECT w, cnt,
-             list_transform(range(1, length(w) + 1),
-                            i -> substring(w, i, 1)) AS s
+      SELECT w, cnt, {_BPE_SYMS_SQL} AS s
       FROM words0),
     {body}
     {union}
+    """
+
+
+def q_bpe_encode_stats(spark, sf_dir, _checkpoint=True):
+    """BPE tokenizer APPLICATION at corpus scale — the op that runs on
+    every byte of a training corpus after q_bpe_train_merges learned the
+    merge table: tokenize every conforming word with the learned merges
+    and account tokens per source (the numbers mixture weighting and
+    sequence packing consume). Output: one row per source — word count,
+    character count (= token count before any merge), and BPE token
+    count after the 3 learned merges. Value-exact vs a DuckDB twin
+    sharing the training twin's round CTEs and fold.
+
+    Scale: the corpus is touched by exactly TWO shuffles — the
+    (source, word) histogram groupBy and the final per-source rollup; in
+    between, everything runs on the DISTINCT-WORD table (corpus
+    vocabulary, ~1e7 rows at 100 TB): training on the capped top-1024
+    exactly as q_bpe_train_merges, then each learned 1-row merge applied
+    to the vocabulary by broadcast + map-side fold. No document is ever
+    re-tokenized per round — a word tokenizes once, and doc token counts
+    are cnt-weighted joins against the vocabulary, the classic
+    histogram-factorization that makes corpus tokenization
+    vocabulary-sized instead of corpus-sized. The vocab-word join is a
+    shuffle equi-join (both sides vocabulary-scale at most; AQE
+    broadcasts it when small)."""
+    d = _t(spark, sf_dir, "documents")
+    wsrc = (
+        d.select(
+            F.coalesce(F.col("source"), F.lit("")).alias("source"),
+            F.explode(
+                F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+            ).alias("w"),
+        )
+        .where(F.col("w").rlike(BPE_WORD_RE))
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    if _checkpoint:
+        # feeds both the global histogram and the final rollup
+        wsrc = wsrc.localCheckpoint(eager=False)
+    wglob = wsrc.groupBy("w").agg(F.sum("cnt").alias("cnt"))
+    syms = F.expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+    )
+    cur = (
+        wglob.orderBy(F.col("cnt").desc(), F.col("w").asc())
+        .limit(BPE_VOCAB_CAP)
+        .select("w", "cnt", syms.alias("syms"))
+    )
+    wtok = wglob.select("w", syms.alias("syms"))
+    if _checkpoint:
+        cur = cur.localCheckpoint(eager=False)
+        wtok = wtok.localCheckpoint(eager=False)
+    for _r in range(1, BPE_ROUNDS + 1):
+        best = _bpe_best(cur)
+        fold = _bpe_merge_fold(F.col("syms"), F.col("mpa"), F.col("mpb"))
+        cur = cur.crossJoin(F.broadcast(best)).select(
+            "w", "cnt", fold.alias("syms")
+        )
+        wtok = wtok.crossJoin(F.broadcast(best)).select(
+            "w", fold.alias("syms")
+        )
+        if _checkpoint:
+            cur = cur.localCheckpoint(eager=False)
+            wtok = wtok.localCheckpoint(eager=False)
+    return (
+        wsrc.join(wtok, "w")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("cnt") * F.length("w")).alias("n_chars"),
+            F.sum(F.col("cnt") * F.size("syms")).alias("n_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_bpe_encode_stats():
+    rounds = _sql_bpe_round_ctes()
+    for r in range(1, BPE_ROUNDS + 1):
+        rounds.append(
+            f"""t{r} AS (
+      SELECT w, {_BPE_FOLD_SQL.format(r=r)} AS s
+      FROM (SELECT w, s FROM t{r - 1}) CROSS JOIN b{r})"""
+        )
+    body = ",\n    ".join(rounds)
+    return f"""
+    WITH wsrc AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT coalesce(source, '') AS source,
+                   unnest(string_split(coalesce(text, ''), ' ')) AS w
+            FROM documents)
+      WHERE regexp_full_match(w, '{BPE_WORD_RE.strip("^$")}')
+      GROUP BY source, w),
+    wglob AS (
+      SELECT w, CAST(sum(cnt) AS BIGINT) AS cnt FROM wsrc GROUP BY w),
+    words0 AS (
+      SELECT w, cnt FROM wglob ORDER BY cnt DESC, w ASC
+      LIMIT {BPE_VOCAB_CAP}),
+    s0 AS (
+      SELECT w, cnt, {_BPE_SYMS_SQL} AS s
+      FROM words0),
+    t0 AS (
+      SELECT w, {_BPE_SYMS_SQL} AS s
+      FROM wglob),
+    {body}
+    SELECT wsrc.source,
+           CAST(sum(cnt) AS BIGINT) AS n_words,
+           CAST(sum(cnt * length(w)) AS BIGINT) AS n_chars,
+           CAST(sum(cnt * len(s)) AS BIGINT) AS n_tokens
+    FROM wsrc JOIN t{BPE_ROUNDS} USING (w)
+    GROUP BY wsrc.source ORDER BY wsrc.source
     """
 
 
@@ -5237,6 +5369,7 @@ _reg(
 # r6 rotation head (repo-harness value-exact at all SFs meanwhile).
 _reg("bpe_train_merges", q_bpe_train_merges, _sql_bpe_train_merges())
 _reg("semdedup_prune", q_semdedup_prune, _sql_semdedup_prune())
+_reg("bpe_encode_stats", q_bpe_encode_stats, _sql_bpe_encode_stats())
 
 # Rows-only queries in descending driver-visibility priority (they fill
 # whatever slots remain under the driver's 50-entry window after the

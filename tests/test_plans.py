@@ -441,6 +441,24 @@ def test_semdedup_broadcast_assign_equijoin_pairs(spark):
         assert marker not in plan, marker
 
 
+def test_bpe_encode_broadcast_merges_no_cartesian(spark):
+    """bpe_encode_stats must apply every learned merge to BOTH the
+    training vocab and the full vocabulary table via broadcast-1-row
+    nested loops (2 per round), keep the word-histogram factorization
+    free of cartesian products, and stay Python-free; the final
+    vocab-word join is a legitimate equi-join (any shuffle/broadcast
+    shape), so SMJ is NOT forbidden here."""
+    from engine.queries import BPE_ROUNDS, q_bpe_encode_stats
+
+    plan = _plan(q_bpe_encode_stats(spark, SF, _checkpoint=False))
+    assert plan.count("BroadcastNestedLoopJoin") >= 2 * BPE_ROUNDS, plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInArrow",
+                   "FlatMapGroupsInPandas", "MapInPandas"):
+        assert marker not in plan, marker
+
+
 def test_kmeans_assignment_broadcasts_centroids(spark):
     """Every Lloyd round must score points against a BROADCAST centroid
     set (K-row nested loop, map-side) — a point never shuffles to reach
