@@ -141,6 +141,14 @@ HEADLINE = [
     "dup_span_stats",
     "bm25_topk",
     "kmeans_clusters",
+    "bpe_train_merges",
+    "bpe_encode_stats",
+    # semdedup_prune is deliberately NOT a headline op: its within-cell
+    # pair stage runs at the quarantined oracle configuration (fixed K=8
+    # over <=10k vectors), whose 8-key join skew is an artifact of that
+    # configuration, not of the scale plan (production K grows with the
+    # corpus); its scale-path families (kmeans_clusters, the LSH/banded
+    # embedding kernels) are all benched above
 ]
 
 

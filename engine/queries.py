@@ -1899,33 +1899,34 @@ def q_semdedup_prune(spark, sf_dir):
         F.col("q").alias("qb"),
         F.col("n2").alias("nb2"),
     )
-    # The pair stage's dot is a compact JVM zip_with+aggregate integer
-    # fold, NOT the 64-term expression the assignment stage uses: the
-    # filter references `dot` more than once, Catalyst inlines the alias
-    # into the fused join+filter stage, and >=2 copies of a 64-term tree
-    # blow janino's 64 KB method limit (measured: whole-stage codegen
-    # fell back to interpreted for the entire join stage — strictly worse
-    # than two small interpreted folds inside a compiled stage). Integer
-    # addition is associative-exact, so fold order is irrelevant to
-    # parity. dot*abs(dot) is the SIGNED square: >= a positive RHS
-    # implies dot > 0, collapsing the predicate to two alias references.
-    dot = F.aggregate(
+    # The pair predicate is ONE zip_with+aggregate integer fold whose
+    # `finish` lambda applies the threshold to the final accumulator —
+    # NOT the assignment stage's 64-term expression, and NOT an aliased
+    # dot column: a multiply-referenced 64-term alias gets inlined by
+    # Catalyst into the fused join+filter stage and blows janino's 64 KB
+    # method limit (measured: whole-stage codegen fell back to
+    # interpreted for the entire join stage), while an aliased FOLD gets
+    # inlined once per reference and pays one interpreted 64-element
+    # fold per copy (measured 2x on the pair stage). Binding the
+    # comparison inside `finish` evaluates the fold exactly once per
+    # pair. Integer addition is associative-exact, so fold order is
+    # irrelevant to parity; dot*abs(dot) is the SIGNED square — >= a
+    # positive RHS implies dot > 0 with a single accumulator reference.
+    sim_ok = F.aggregate(
         F.zip_with("qa", "qb", lambda x, y: x * y),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
+        lambda acc: (
+            F.lit(SEMDEDUP_TAU_DEN * SEMDEDUP_TAU_DEN) * acc * F.abs(acc)
+            >= F.lit(SEMDEDUP_TAU_NUM * SEMDEDUP_TAU_NUM)
+            * F.col("na2")
+            * F.col("nb2")
+        ),
     )
     pruned = (
         a.join(b, "cid")
         .where(F.col("va") < F.col("vb"))
-        .select("cid", "vb", dot.alias("dot"), "na2", "nb2")
-        .where(
-            F.lit(SEMDEDUP_TAU_DEN * SEMDEDUP_TAU_DEN)
-            * F.col("dot")
-            * F.abs(F.col("dot"))
-            >= F.lit(SEMDEDUP_TAU_NUM * SEMDEDUP_TAU_NUM)
-            * F.col("na2")
-            * F.col("nb2")
-        )
+        .where(sim_ok)
         .select("cid", F.col("vb").alias("vec_id"))
         .distinct()
         .withColumn("_p", F.lit(1))
