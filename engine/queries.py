@@ -1070,6 +1070,17 @@ _SQL_VALID_EMB = (
 )
 
 
+def _enforce_oracle_quarantine(df: DataFrame, message: str) -> None:
+    """Shared enforcement for operators whose pair stage is quadratic at
+    the oracle configuration: above ORACLE_KERNEL_MAX_ROWS input rows,
+    raise instead of silently launching an n² job. limit(cap+1) bounds
+    the guard's scan to the cap regardless of input size (a bare count()
+    would eagerly scan the whole table every time the query is merely
+    CONSTRUCTED at oracle scale)."""
+    if df.limit(ORACLE_KERNEL_MAX_ROWS + 1).count() > ORACLE_KERNEL_MAX_ROWS:
+        raise RuntimeError(message)
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     """Brute-force ANN baseline: cosine top-10 vs the vec_id=0 query vector.
     The query vector broadcasts (a scalar crossJoin of one row); each
@@ -1134,17 +1145,13 @@ def q_embedding_neardup_pairs(spark, sf_dir):
     input vectors the kernel raises instead of silently launching an n²
     job — callers at scale are pointed at the two scale paths."""
     e = _valid_embeddings(_t(spark, sf_dir, "embeddings"), keep_norm2=True)
-    # limit(cap+1) bounds the guard's scan to the cap regardless of input
-    # size (a bare count() would eagerly scan the whole table every time
-    # the query is merely CONSTRUCTED at oracle scale)
-    n = e.limit(ORACLE_KERNEL_MAX_ROWS + 1).count()
-    if n > ORACLE_KERNEL_MAX_ROWS:
-        raise RuntimeError(
-            f"embedding_neardup_pairs is the O(n^2) oracle kernel, capped "
-            f"at {ORACLE_KERNEL_MAX_ROWS} vectors; use "
-            "embedding_neardup_pairs_fast (exact) or _lsh (sub-quadratic) "
-            "above oracle scale"
-        )
+    _enforce_oracle_quarantine(
+        e,
+        f"embedding_neardup_pairs is the O(n^2) oracle kernel, capped "
+        f"at {ORACLE_KERNEL_MAX_ROWS} vectors; use "
+        "embedding_neardup_pairs_fast (exact) or _lsh (sub-quadratic) "
+        "above oracle scale",
+    )
     v = e.select("vec_id", "embedding", F.sqrt(F.col("_norm2")).alias("nrm"))
     a = v.alias("a")
     b = v.alias("b")
@@ -1853,14 +1860,13 @@ def q_semdedup_prune(spark, sf_dir):
         .withColumn("n2", n2)
         .where(F.col("n2") > 0)
     )
-    n = pts.limit(ORACLE_KERNEL_MAX_ROWS + 1).count()
-    if n > ORACLE_KERNEL_MAX_ROWS:
-        raise RuntimeError(
-            f"semdedup_prune's within-cell pair stage is quarantined at "
-            f"{ORACLE_KERNEL_MAX_ROWS} vectors with fixed K={SEMDEDUP_K}; "
-            "at scale, K grows with the corpus (cells stay bounded) — "
-            "re-partition with a larger seed set"
-        )
+    _enforce_oracle_quarantine(
+        pts,
+        f"semdedup_prune's within-cell pair stage is quarantined at "
+        f"{ORACLE_KERNEL_MAX_ROWS} vectors with fixed K={SEMDEDUP_K}; "
+        "at scale, K grows with the corpus (cells stay bounded) — "
+        "re-partition with a larger seed set",
+    )
     seeds = (
         pts.orderBy("vec_id")
         .limit(SEMDEDUP_K)
@@ -3365,7 +3371,12 @@ BPE_ROUNDS = 3
 BPE_VOCAB_CAP = 1024
 # 2..12 lowercase ascii: >=2 chars so every word starts with >=1 mergeable
 # pair; the cap bounds symbol-array width for the fold
-BPE_WORD_RE = "^[a-z]{2,12}$"
+BPE_WORD_CORE = "[a-z]{2,12}"
+# Spark-side anchor is \z, NOT $: Java's $ also matches just before a
+# trailing line terminator, so rlike '^...$' admits 'ab\n' where DuckDB's
+# regexp_full_match (RE2 full match) rejects it — a driver hash-fail
+# class on any newline-containing corpus (code-review finding, r5)
+BPE_WORD_RE = f"^{BPE_WORD_CORE}\\z"
 
 
 def _bpe_merge_fold(syms, pa, pb):
@@ -3477,7 +3488,14 @@ def q_bpe_train_merges(spark, sf_dir, _checkpoint=True):
     out = []
     for r in range(1, BPE_ROUNDS + 1):
         best = _bpe_best(cur)
-        merged = cur.crossJoin(F.broadcast(best)).select(
+        # LEFT join on TRUE, not crossJoin: if the corpus runs out of
+        # mergeable pairs before BPE_ROUNDS, `best` is EMPTY and a cross
+        # join would annihilate the whole vocabulary (and every later
+        # round) — the left join keeps the rows with a NULL pair, the
+        # fold is an identity under NULL pa/pb, and the round's summary
+        # row reports the exhaustion as NULL pair columns (the twin's
+        # LEFT JOIN ON TRUE degrades identically; code-review finding, r5)
+        merged = cur.join(F.broadcast(best), F.lit(True), "left").select(
             "w",
             "cnt",
             "mpa",
@@ -3543,7 +3561,7 @@ def _sql_bpe_round_ctes():
       ORDER BY pc DESC, pa ASC, pb ASC LIMIT 1),
     s{r} AS (
       SELECT w, cnt, {_BPE_FOLD_SQL.format(r=r)} AS s, mpa, mpb, mpc
-      FROM (SELECT w, cnt, s FROM s{r - 1}) CROSS JOIN b{r})"""
+      FROM (SELECT w, cnt, s FROM s{r - 1}) LEFT JOIN b{r} ON TRUE)"""
         )
     return rounds
 
@@ -3567,7 +3585,7 @@ def _sql_bpe_train_merges():
       SELECT w, CAST(count(*) AS BIGINT) AS cnt
       FROM (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS w
             FROM documents)
-      WHERE regexp_full_match(w, '{BPE_WORD_RE.strip("^$")}')
+      WHERE regexp_full_match(w, '{BPE_WORD_CORE}')
       GROUP BY w ORDER BY cnt DESC, w ASC LIMIT {BPE_VOCAB_CAP}),
     s0 AS (
       SELECT w, cnt, {_BPE_SYMS_SQL} AS s
@@ -3630,10 +3648,13 @@ def q_bpe_encode_stats(spark, sf_dir, _checkpoint=True):
     for _r in range(1, BPE_ROUNDS + 1):
         best = _bpe_best(cur)
         fold = _bpe_merge_fold(F.col("syms"), F.col("mpa"), F.col("mpb"))
-        cur = cur.crossJoin(F.broadcast(best)).select(
+        # left-on-TRUE for the same merge-exhaustion reason as the
+        # training loop: an empty best must not annihilate the
+        # vocabulary (n_words/n_chars don't even depend on merges)
+        cur = cur.join(F.broadcast(best), F.lit(True), "left").select(
             "w", "cnt", fold.alias("syms")
         )
-        wtok = wtok.crossJoin(F.broadcast(best)).select(
+        wtok = wtok.join(F.broadcast(best), F.lit(True), "left").select(
             "w", fold.alias("syms")
         )
         if _checkpoint:
@@ -3657,7 +3678,7 @@ def _sql_bpe_encode_stats():
         rounds.append(
             f"""t{r} AS (
       SELECT w, {_BPE_FOLD_SQL.format(r=r)} AS s
-      FROM (SELECT w, s FROM t{r - 1}) CROSS JOIN b{r})"""
+      FROM (SELECT w, s FROM t{r - 1}) LEFT JOIN b{r} ON TRUE)"""
         )
     body = ",\n    ".join(rounds)
     return f"""
@@ -3666,7 +3687,7 @@ def _sql_bpe_encode_stats():
       FROM (SELECT coalesce(source, '') AS source,
                    unnest(string_split(coalesce(text, ''), ' ')) AS w
             FROM documents)
-      WHERE regexp_full_match(w, '{BPE_WORD_RE.strip("^$")}')
+      WHERE regexp_full_match(w, '{BPE_WORD_CORE}')
       GROUP BY source, w),
     wglob AS (
       SELECT w, CAST(sum(cnt) AS BIGINT) AS cnt FROM wsrc GROUP BY w),

@@ -150,5 +150,59 @@ def test_semdedup_quarantine_and_representative_rule(spark, monkeypatch):
     rows = Q.q_semdedup_prune(spark, sf).collect()
     assert rows, "non-empty testdata must produce cells"
     for r in rows:
+        # the smallest vec_id in a cell has no earlier cell-mate, so it
+        # can never be the vb side of a qualifying pair
         assert r.n_kept >= 1
-        assert r.n_points == r.n_kept + r.n_pruned
+
+    # independent recomputation in numpy (neither engine): quantize,
+    # Voronoi-assign to the 8 smallest-vec_id seeds with integer L2 +
+    # cid-asc tie-break, prune any vector with an earlier cell-mate at
+    # integer cosine >= 3/10 — the full per-cell accounting must match
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(sf + "/embeddings.parquet").to_pylist()
+    pts = []
+    for row in t:
+        emb = row["embedding"]
+        if emb is None or len(emb) != Q.SEMDEDUP_DIM or any(
+            x is None for x in emb
+        ):
+            continue
+        q = np.floor(
+            np.asarray(emb, dtype=np.float64) * Q.SEMDEDUP_SCALE + 0.5
+        ).astype(np.int64)
+        if int(q @ q) > 0:
+            pts.append((row["vec_id"], q))
+    pts.sort(key=lambda p: p[0])
+    seeds = pts[: Q.SEMDEDUP_K]
+    cells: dict[int, list] = {}
+    for vid, q in pts:
+        best = min(
+            (int(((q - s) ** 2).sum()), cid) for cid, s in seeds
+        )
+        cells.setdefault(best[1], []).append((vid, q))
+    expect = {}
+    t2n = Q.SEMDEDUP_TAU_NUM**2
+    t2d = Q.SEMDEDUP_TAU_DEN**2
+    for cid, members in cells.items():
+        pruned = []
+        for j, (vb, qb) in enumerate(members):
+            nb2 = int(qb @ qb)
+            for va, qa in members[:j]:
+                dot = int(qa @ qb)
+                if dot > 0 and t2d * dot * dot >= t2n * int(qa @ qa) * nb2:
+                    pruned.append(vb)
+                    break
+        expect[cid] = (
+            len(members),
+            len(pruned),
+            len(members) - len(pruned),
+            min(v for v, _ in members),
+            sum(pruned),
+        )
+    got = {
+        r.cid: (r.n_points, r.n_pruned, r.n_kept, r.min_vec, r.pruned_id_sum)
+        for r in rows
+    }
+    assert got == expect

@@ -106,6 +106,10 @@ DOC_QUERIES = [
     "dataset_shard_order",
     "text_normalize_stats",
     "keyword_search_topk",
+    # doc 6's newline-terminated token is exactly the corpus that caught
+    # the rlike-$ vs regexp_full_match anchor divergence (r5 finding)
+    "bpe_train_merges",
+    "bpe_encode_stats",
 ]
 EVENT_QUERIES = [
     "json_funcs",
@@ -240,7 +244,12 @@ def test_embedding_oracles_survive_zero_and_null_vectors(spark, emb_dir):
         spark,
         emb_dir,
         "embeddings",
-        ["array_funcs", "ann_cosine_topk", "embedding_neardup_pairs"],
+        [
+            "array_funcs",
+            "ann_cosine_topk",
+            "embedding_neardup_pairs",
+            "semdedup_prune",
+        ],
     )
     assert not bad, bad
 
@@ -293,6 +302,31 @@ def test_ann_degrades_to_empty_when_query_vector_invalid(spark, tmp_path):
 def test_documents_queries_survive_adversarial_rows(spark, docs_dir):
     bad = _compare(spark, docs_dir, "documents", DOC_QUERIES)
     assert not bad, bad
+
+
+def test_bpe_survives_merge_exhaustion(spark, tmp_path):
+    """A corpus whose mergeable pairs dry up before BPE_ROUNDS must NOT
+    collapse to zero rows: the learned-merge join is left-on-TRUE, so an
+    empty best-pair frame leaves the vocabulary intact (a cross join
+    annihilated it — and the twin collapsed identically, so only a
+    concrete expectation catches it; code-review finding, r5). Single
+    word type 'ab': round 1 merges (a,b), rounds 2-3 find nothing."""
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(0, "ab ab ab ab", "en", "s0", 11)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    bad = _compare(
+        spark, sf, "documents", ["bpe_train_merges", "bpe_encode_stats"]
+    )
+    assert not bad, bad
+    enc = _QUERIES["bpe_encode_stats"](spark, sf).collect()
+    assert [tuple(r) for r in enc] == [("s0", 4, 8, 4)]
+    tr = {r.merge_round: tuple(r)[1:] for r in
+          _QUERIES["bpe_train_merges"](spark, sf).collect()}
+    assert tr[1] == ("a", "b", 4, 4)
+    assert tr[2] == (None, None, None, 4)
+    assert tr[3] == (None, None, None, 4)
 
 
 def test_events_queries_survive_adversarial_rows(spark, events_dir):
