@@ -18,7 +18,11 @@ Determinism conventions (driver hashes values after sorting columns by name):
   * every FINAL integer sum in oracle SQL is ``CAST(sum(...) AS BIGINT)``:
     DuckDB types a bare sum(int) as HUGEINT, which crosses Arrow as
     decimal128 and float-stringifies driver-side ("4.0" != "4" — the
-    round-4 hash-fail class; tests/oracle_harness.py rejects the type).
+    round-4 hash-fail class; tests/oracle_harness.py rejects the type);
+  * Spark-side FULL-MATCH regex anchors use ``\\z``, never ``$``: Java's
+    ``$`` also matches before a trailing line terminator, admitting
+    'ab\\n' where DuckDB's regexp_full_match rejects it (the round-5
+    hash-fail class; pinned by the newline doc in tests/test_oracle_fuzz).
 
 Scale notes are in each docstring: what the plan looks like at 100 TB and
 why (broadcast choices, shuffle keys, salting).
