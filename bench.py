@@ -143,12 +143,12 @@ HEADLINE = [
     "kmeans_clusters",
     "bpe_train_merges",
     "bpe_encode_stats",
-    # semdedup_prune is deliberately NOT a headline op: its within-cell
-    # pair stage runs at the quarantined oracle configuration (fixed K=8
-    # over <=10k vectors), whose 8-key join skew is an artifact of that
-    # configuration, not of the scale plan (production K grows with the
-    # corpus); its scale-path families (kmeans_clusters, the LSH/banded
-    # embedding kernels) are all benched above
+    # the SemDeDup SCALE path (block-pair integer matmul per cell; same
+    # exact answer as the kernel) is the headline entry; semdedup_prune
+    # itself stays registry-only — its self-join pair stage runs at the
+    # quarantined oracle configuration (fixed K=8 over <=10k vectors),
+    # whose 8-key join skew is an artifact of that configuration
+    "semdedup_prune_fast",
 ]
 
 

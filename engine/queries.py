@@ -1822,6 +1822,76 @@ def _sd_terms(fmt):
     return " + ".join(fmt.format(d=d) for d in range(1, SEMDEDUP_DIM + 1))
 
 
+def _semdedup_assign(spark, sf_dir):
+    """Shared first half of both semdedup variants: quantize + validate,
+    then Voronoi-assign every point to the K=8 smallest-vec_id seeds via
+    a broadcast nested loop with pure-BIGINT squared-L2 argmin (cid-asc
+    tie-break). Returns (pts, asg) — pts so the oracle-kernel variant can
+    run its quarantine count without triggering the assignment."""
+    e = _t_spread(spark, sf_dir, "embeddings")
+    n2 = F.expr(_sd_terms("element_at(q, {d}) * element_at(q, {d})"))
+    pts = (
+        e.where(
+            F.col("embedding").isNotNull()
+            & (F.size("embedding") == SEMDEDUP_DIM)
+        )
+        .select(
+            "vec_id",
+            _kmeans_quant(F.col("embedding"), SEMDEDUP_SCALE).alias("q"),
+        )
+        .withColumn("n2", n2)
+        .where(F.col("n2") > 0)
+    )
+    seeds = (
+        pts.orderBy("vec_id")
+        .limit(SEMDEDUP_K)
+        .select(F.col("vec_id").alias("cid"), F.col("q").alias("s"))
+    )
+    dist = F.expr(
+        _sd_terms(
+            "(element_at(q, {d}) - element_at(s, {d}))"
+            " * (element_at(q, {d}) - element_at(s, {d}))"
+        )
+    )
+    asg = (
+        pts.crossJoin(F.broadcast(seeds))
+        .select(
+            "vec_id",
+            F.struct(dist.alias("dist"), "cid", "q", "n2").alias("sc"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("sc").alias("m"))
+        .select(
+            "vec_id",
+            F.col("m.cid").alias("cid"),
+            F.col("m.q").alias("q"),
+            F.col("m.n2").alias("n2"),
+        )
+    )
+    return pts, asg
+
+
+def _semdedup_summary(asg, pruned):
+    """Shared final half: per-cell keep/prune accounting from the
+    assignment and the distinct pruned (cid, vec_id) set."""
+    return (
+        asg.join(pruned, ["cid", "vec_id"], "left")
+        .groupBy("cid")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.count("_p").alias("n_pruned"),
+            (F.count("*") - F.count("_p")).alias("n_kept"),
+            F.min("vec_id").alias("min_vec"),
+            F.sum(
+                F.when(F.col("_p").isNotNull(), F.col("vec_id")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("pruned_id_sum"),
+        )
+        .orderBy("cid")
+    )
+
+
 def q_semdedup_prune(spark, sf_dir):
     """SemDeDup semantic dedup as a relational curation decision: Voronoi-
     partition the embedding space over the K=8 smallest-vec_id seed
@@ -1850,52 +1920,14 @@ def q_semdedup_prune(spark, sf_dir):
     The O(sum nc^2) pair stage shares the oracle kernel's enforced
     quarantine: above ORACLE_KERNEL_MAX_ROWS input vectors this raises —
     at real scale you raise K, you don't widen cells."""
-    e = _t_spread(spark, sf_dir, "embeddings")
-    n2 = F.expr(_sd_terms("element_at(q, {d}) * element_at(q, {d})"))
-    pts = (
-        e.where(
-            F.col("embedding").isNotNull()
-            & (F.size("embedding") == SEMDEDUP_DIM)
-        )
-        .select(
-            "vec_id",
-            _kmeans_quant(F.col("embedding"), SEMDEDUP_SCALE).alias("q"),
-        )
-        .withColumn("n2", n2)
-        .where(F.col("n2") > 0)
-    )
+    pts, asg = _semdedup_assign(spark, sf_dir)
     _enforce_oracle_quarantine(
         pts,
         f"semdedup_prune's within-cell pair stage is quarantined at "
         f"{ORACLE_KERNEL_MAX_ROWS} vectors with fixed K={SEMDEDUP_K}; "
         "at scale, K grows with the corpus (cells stay bounded) — "
-        "re-partition with a larger seed set",
-    )
-    seeds = (
-        pts.orderBy("vec_id")
-        .limit(SEMDEDUP_K)
-        .select(F.col("vec_id").alias("cid"), F.col("q").alias("s"))
-    )
-    dist = F.expr(
-        _sd_terms(
-            "(element_at(q, {d}) - element_at(s, {d}))"
-            " * (element_at(q, {d}) - element_at(s, {d}))"
-        )
-    )
-    asg = (
-        pts.crossJoin(F.broadcast(seeds))
-        .select(
-            "vec_id",
-            F.struct(dist.alias("dist"), "cid", "q", "n2").alias("sc"),
-        )
-        .groupBy("vec_id")
-        .agg(F.min("sc").alias("m"))
-        .select(
-            "vec_id",
-            F.col("m.cid").alias("cid"),
-            F.col("m.q").alias("q"),
-            F.col("m.n2").alias("n2"),
-        )
+        "re-partition with a larger seed set, or use semdedup_prune_fast "
+        "(block-pair decomposition, same exact answer)",
     )
     a = asg.select(
         "cid",
@@ -1941,22 +1973,77 @@ def q_semdedup_prune(spark, sf_dir):
         .distinct()
         .withColumn("_p", F.lit(1))
     )
-    return (
-        asg.join(pruned, ["cid", "vec_id"], "left")
-        .groupBy("cid")
-        .agg(
-            F.count("*").alias("n_points"),
-            F.count("_p").alias("n_pruned"),
-            (F.count("*") - F.count("_p")).alias("n_kept"),
-            F.min("vec_id").alias("min_vec"),
-            F.sum(
-                F.when(F.col("_p").isNotNull(), F.col("vec_id")).otherwise(
-                    F.lit(0)
-                )
-            ).alias("pruned_id_sum"),
-        )
-        .orderBy("cid")
+    return _semdedup_summary(asg, pruned)
+
+
+def q_semdedup_prune_fast(spark, sf_dir):
+    """The SemDeDup scale path: IDENTICAL output to q_semdedup_prune
+    (registered against the SAME oracle SQL), with the within-cell pair
+    stage as block-pair decomposition instead of a cell self-join — the
+    embedding_neardup_pairs_fast treatment applied per cell. Every
+    vector lands in block g = pmod(xxhash64(vec_id), G); each
+    (cell, block-pair) becomes one Arrow task whose integer numpy matmul
+    scores its two sub-matrices, so a giant cell becomes G(G+1)/2
+    bounded tasks instead of one quadratic reducer, and the G·n-row
+    replication is the only extra shuffle volume. All arithmetic stays
+    int64 (quantized dots, cross-multiplied rational threshold — numpy
+    integer matmul is exact), so the pair set is bit-identical to the
+    quarantined kernel and the per-cell accounting hash-matches the same
+    DuckDB twin. From any qualifying pair only the LARGER vec_id is
+    pruned (the va < vb rule)."""
+    import numpy as np
+    import pandas as pd
+
+    G = _NEARDUP_BLOCKS
+    _pts, asg = _semdedup_assign(spark, sf_dir)
+    rep = asg.withColumn(
+        "g", F.pmod(F.xxhash64("vec_id"), F.lit(G)).cast("int")
+    ).join(
+        F.broadcast(
+            spark.createDataFrame(
+                [(i, j) for i in range(G) for j in range(i, G)],
+                "ga int, gb int",
+            )
+        ),
+        (F.col("g") == F.col("ga")) | (F.col("g") == F.col("gb")),
     )
+    t2n, t2d = SEMDEDUP_TAU_NUM**2, SEMDEDUP_TAU_DEN**2
+
+    def prune_block_pair(pdf: pd.DataFrame) -> pd.DataFrame:
+        ga, gb = int(pdf["ga"].iloc[0]), int(pdf["gb"].iloc[0])
+        ids = pdf["vec_id"].to_numpy()
+        q = np.array(pdf["q"].tolist(), dtype=np.int64)
+        n2 = pdf["n2"].to_numpy(dtype=np.int64)
+        g = pdf["g"].to_numpy()
+        if ga == gb:
+            ia, ib = np.arange(len(ids)), np.arange(len(ids))
+        else:
+            ia, ib = np.nonzero(g == ga)[0], np.nonzero(g == gb)[0]
+        dots = q[ia] @ q[ib].T
+        ok = (dots > 0) & (
+            t2d * dots * dots >= t2n * np.outer(n2[ia], n2[ib])
+        )
+        # a pair is (va < vb); only the larger id is pruned — and the
+        # diagonal/self pairs of the ga == gb case have equal ids, which
+        # the strict < on ids removes
+        ok &= ids[ia][:, None] != ids[ib][None, :]
+        ii, jj = np.nonzero(ok)
+        pruned = np.maximum(ids[ia][ii], ids[ib][jj])
+        return pd.DataFrame(
+            {
+                "cid": np.full(len(pruned), int(pdf["cid"].iloc[0]),
+                               dtype=np.int64),
+                "vec_id": pruned.astype(np.int64),
+            }
+        )
+
+    pruned = (
+        rep.groupBy("cid", "ga", "gb")
+        .applyInPandas(prune_block_pair, schema="cid long, vec_id long")
+        .distinct()
+        .withColumn("_p", F.lit(1))
+    )
+    return _semdedup_summary(asg, pruned)
 
 
 def _sql_semdedup_prune():
@@ -5396,6 +5483,9 @@ _reg(
 _reg("bpe_train_merges", q_bpe_train_merges, _sql_bpe_train_merges())
 _reg("semdedup_prune", q_semdedup_prune, _sql_semdedup_prune())
 _reg("bpe_encode_stats", q_bpe_encode_stats, _sql_bpe_encode_stats())
+# the scale path computes the IDENTICAL answer, so it shares the kernel's
+# oracle SQL verbatim — pair-set equality is checked by the hash itself
+_reg("semdedup_prune_fast", q_semdedup_prune_fast, _sql_semdedup_prune())
 
 # Rows-only queries in descending driver-visibility priority (they fill
 # whatever slots remain under the driver's 50-entry window after the

@@ -441,6 +441,21 @@ def test_semdedup_broadcast_assign_equijoin_pairs(spark):
         assert marker not in plan, marker
 
 
+def test_semdedup_fast_single_arrow_crossing(spark):
+    """The scale-path variant's pair stage must be EXACTLY ONE Arrow
+    crossing (the per-(cell, block-pair) integer matmul), with the seed
+    assignment still a broadcast nested loop and no cartesian anywhere —
+    the block-pair replication join is itself broadcast (G(G+1)/2 rows)."""
+    from engine.queries import q_semdedup_prune_fast
+
+    plan = _plan(q_semdedup_prune_fast(spark, SF))
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, marker
+
+
 def test_bpe_encode_broadcast_merges_no_cartesian(spark):
     """bpe_encode_stats must apply every learned merge to BOTH the
     training vocab and the full vocabulary table via broadcast-1-row

@@ -83,6 +83,7 @@ def test_registry_driver_window_covers_value_exact():
             # would displace a query earning its first driver row this
             # round, so they wait as the r6 rotation head
             "bpe_train_merges", "semdedup_prune", "bpe_encode_stats",
+            "semdedup_prune_fast",
         }, overflow
         for must_be_in in (
             "multimodal_video_meta", "multimodal_video_frames",
