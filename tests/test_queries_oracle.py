@@ -268,6 +268,66 @@ def test_bpe_merge_fold_semantics(spark):
     ]
 
 
+def test_bpe_merge_fold_property_batch(spark):
+    """200 seeded random (symbol-array, merge-pair) cases — including
+    multi-char symbols, the shape later merge rounds produce — applied in
+    ONE Spark job AND through the DuckDB list_reduce twin fold, both
+    compared against an independent two-pointer Python reference of
+    greedy left-to-right non-overlapping merging. Guards the exotic
+    chr(31) string-fold encoding of the twin as much as the Spark fold."""
+    import random
+
+    import duckdb
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from engine.queries import _BPE_FOLD_SQL, _bpe_merge_fold
+
+    rng = random.Random(42)
+    alphabet = ["a", "b", "c", "ab", "bc"]
+    cases = []
+    for i in range(200):
+        syms = [rng.choice(alphabet) for _ in range(rng.randint(1, 12))]
+        cases.append((i, syms, rng.choice(alphabet), rng.choice(alphabet)))
+    cases.append((200, [], "a", "b"))  # empty array: Spark-only case
+
+    def ref(syms, pa, pb):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == pa and syms[i + 1] == pb:
+                out.append(pa + pb)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    expect = {i: ref(s, pa, pb) for i, s, pa, pb in cases}
+
+    df = spark.createDataFrame(
+        cases, "id long, syms array<string>, pa string, pb string"
+    ).select(
+        "id", _bpe_merge_fold(F.col("syms"), F.col("pa"), F.col("pb")).alias("m")
+    )
+    got_spark = {r.id: r.m for r in df.collect()}
+    assert got_spark == expect
+
+    # the twin fold verbatim, modulo the b{r} correlation prefix
+    fold = _BPE_FOLD_SQL.replace("b{r}.mpa", "pa").replace("b{r}.mpb", "pb")
+    con = duckdb.connect()
+    con.register(
+        "cases",
+        pd.DataFrame(
+            [(i, s, pa, pb) for i, s, pa, pb in cases if s],
+            columns=["id", "s", "pa", "pb"],
+        ),
+    )
+    got_duck = dict(
+        con.execute(f"SELECT id, {fold} FROM cases ORDER BY id").fetchall()
+    )
+    assert got_duck == {i: v for i, v in expect.items() if i != 200}
+
+
 def test_kmeans_partition_invariant(spark):
     """The value-exactness argument for q_kmeans_clusters is that cluster
     state is order-free (integer sum vectors) and doubles only decide
