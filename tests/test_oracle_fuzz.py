@@ -249,6 +249,9 @@ def test_embedding_oracles_survive_zero_and_null_vectors(spark, emb_dir):
             "ann_cosine_topk",
             "embedding_neardup_pairs",
             "semdedup_prune",
+            # the Arrow block-pair path must survive the same degenerate
+            # domain (null-element / zero vectors) with the same answer
+            "semdedup_prune_fast",
         ],
     )
     assert not bad, bad
