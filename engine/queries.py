@@ -1207,6 +1207,24 @@ ORACLE_KERNEL_MAX_ROWS = 10_000
 _NEARDUP_BLOCKS = 8
 
 
+def _block_pair_replicate(spark, df: DataFrame, G: int) -> DataFrame:
+    """Block-pair replication scaffold shared by the exact fast kernels:
+    every row lands in block g = pmod(xxhash64(vec_id), G) and is
+    replicated to each of the G(G+1)/2 (ga, gb) tasks it participates in
+    (the broadcast pair table is tiny). Every unordered pair of rows
+    meets in EXACTLY one (ga, gb) task; shuffle volume is G·n rows, the
+    replication cost of exact all-pairs."""
+    block_pairs = spark.createDataFrame(
+        [(i, j) for i in range(G) for j in range(i, G)], "ga int, gb int"
+    )
+    return df.withColumn(
+        "g", F.pmod(F.xxhash64("vec_id"), F.lit(G)).cast("int")
+    ).join(
+        F.broadcast(block_pairs),
+        (F.col("g") == F.col("ga")) | (F.col("g") == F.col("gb")),
+    )
+
+
 def q_embedding_neardup_pairs_fast(spark, sf_dir):
     """Distributed exact near-dup pair kernel: block-pair decomposition.
 
@@ -1225,17 +1243,12 @@ def q_embedding_neardup_pairs_fast(spark, sf_dir):
     import pandas as pd
 
     G = _NEARDUP_BLOCKS
-    e = _valid_embeddings(_t(spark, sf_dir, "embeddings")).select(
-        "vec_id",
-        "embedding",
-        F.pmod(F.xxhash64("vec_id"), F.lit(G)).cast("int").alias("g"),
-    )
-    block_pairs = spark.createDataFrame(
-        [(i, j) for i in range(G) for j in range(i, G)], "ga int, gb int"
-    )
-    rep = e.join(
-        F.broadcast(block_pairs),
-        (F.col("g") == F.col("ga")) | (F.col("g") == F.col("gb")),
+    rep = _block_pair_replicate(
+        spark,
+        _valid_embeddings(_t(spark, sf_dir, "embeddings")).select(
+            "vec_id", "embedding"
+        ),
+        G,
     )
 
     def score_block_pair(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1996,17 +2009,7 @@ def q_semdedup_prune_fast(spark, sf_dir):
 
     G = _NEARDUP_BLOCKS
     _pts, asg = _semdedup_assign(spark, sf_dir)
-    rep = asg.withColumn(
-        "g", F.pmod(F.xxhash64("vec_id"), F.lit(G)).cast("int")
-    ).join(
-        F.broadcast(
-            spark.createDataFrame(
-                [(i, j) for i in range(G) for j in range(i, G)],
-                "ga int, gb int",
-            )
-        ),
-        (F.col("g") == F.col("ga")) | (F.col("g") == F.col("gb")),
-    )
+    rep = _block_pair_replicate(spark, asg, G)
     t2n, t2d = SEMDEDUP_TAU_NUM**2, SEMDEDUP_TAU_DEN**2
 
     def prune_block_pair(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -2074,10 +2077,11 @@ def _sql_semdedup_prune():
         FROM pts p CROSS JOIN seeds c)
       WHERE rn = 1),
     pruned AS (
-      SELECT a.cid, b.vec_id
-      FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
-      WHERE {t2d} * ({dot}) * abs({dot}) >= {t2n} * a.n2 * b.n2
-      GROUP BY a.cid, b.vec_id)
+      SELECT cid, vec_id FROM (
+        SELECT a.cid, b.vec_id, {dot} AS dot, a.n2 AS na2, b.n2 AS nb2
+        FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+      WHERE {t2d} * dot * abs(dot) >= {t2n} * na2 * nb2
+      GROUP BY cid, vec_id)
     SELECT g.cid,
            CAST(count(*) AS BIGINT) AS n_points,
            CAST(count(p.vec_id) AS BIGINT) AS n_pruned,
@@ -5481,11 +5485,13 @@ _reg(
 # the ten queries earning their FIRST driver row this round. It is the
 # r6 rotation head (repo-harness value-exact at all SFs meanwhile).
 _reg("bpe_train_merges", q_bpe_train_merges, _sql_bpe_train_merges())
-_reg("semdedup_prune", q_semdedup_prune, _sql_semdedup_prune())
+# built once and registered under BOTH semdedup names: the scale path
+# computes the IDENTICAL answer, so sharing the oracle string structurally
+# makes the hash comparison a pair-set-equality check between the two
+_SEMDEDUP_SQL = _sql_semdedup_prune()
+_reg("semdedup_prune", q_semdedup_prune, _SEMDEDUP_SQL)
 _reg("bpe_encode_stats", q_bpe_encode_stats, _sql_bpe_encode_stats())
-# the scale path computes the IDENTICAL answer, so it shares the kernel's
-# oracle SQL verbatim — pair-set equality is checked by the hash itself
-_reg("semdedup_prune_fast", q_semdedup_prune_fast, _sql_semdedup_prune())
+_reg("semdedup_prune_fast", q_semdedup_prune_fast, _SEMDEDUP_SQL)
 
 # Rows-only queries in descending driver-visibility priority (they fill
 # whatever slots remain under the driver's 50-entry window after the
