@@ -5325,19 +5325,28 @@ def _reg(name: str, fn, sql: str | None) -> None:
     _PENDING.append((name, fn, sql))
 
 
-_reg("pricing_summary", q_pricing_summary, _sql_pricing_summary())
+# pricing_summary / broadcast_dim_join / semi_join / running_totals were
+# rotated to the END of the value-exact order late in r5 (driver-green in
+# every committed round r1-r4, so displacing them loses nothing) and the
+# four session-2 ops take their window slots HERE, so they earn driver
+# rows the round they were built.
+_SEMDEDUP_SQL = _sql_semdedup_prune()
+_reg("bpe_train_merges", q_bpe_train_merges, _sql_bpe_train_merges())
+# registered under BOTH semdedup names: the scale path computes the
+# IDENTICAL answer, so sharing the oracle string structurally makes the
+# hash comparison a pair-set-equality check between the two
+_reg("semdedup_prune", q_semdedup_prune, _SEMDEDUP_SQL)
+_reg("bpe_encode_stats", q_bpe_encode_stats, _sql_bpe_encode_stats())
+_reg("semdedup_prune_fast", q_semdedup_prune_fast, _SEMDEDUP_SQL)
 _reg("rollup_doc_metrics", q_rollup_doc_metrics, _sql_rollup_doc_metrics())
-_reg("broadcast_dim_join", q_broadcast_dim_join, _sql_broadcast_dim_join())
 _reg(
     "region_nation_suppliers",
     q_region_nation_suppliers,
     _sql_region_nation_suppliers(),
 )
 _reg("anti_join_pending", q_anti_join_pending, _sql_anti_join_pending())
-_reg("semi_join", q_semi_join, _sql_semi_join())
 _reg("salted_skew_join", q_salted_skew_join, _sql_salted_skew_join())
 _reg("latest_crawl_dedup", q_latest_crawl_dedup, _sql_latest_crawl_dedup())
-_reg("running_totals", q_running_totals, _sql_running_totals())
 _reg("window_analytics", q_window_analytics, _sql_window_analytics())
 _reg("stats_agg", q_stats_agg, _sql_stats_agg())
 _reg("stats_agg_approx", q_stats_agg_approx, None)
@@ -5480,18 +5489,14 @@ _reg(
     q_multimodal_audio_meta,
     _sql_multimodal_audio_meta(),
 )
-# Built after the round-5 window was finalized, so it registers LAST among
-# the value-exact set ON PURPOSE: rotating it in now would displace one of
-# the ten queries earning their FIRST driver row this round. It is the
-# r6 rotation head (repo-harness value-exact at all SFs meanwhile).
-_reg("bpe_train_merges", q_bpe_train_merges, _sql_bpe_train_merges())
-# built once and registered under BOTH semdedup names: the scale path
-# computes the IDENTICAL answer, so sharing the oracle string structurally
-# makes the hash comparison a pair-set-equality check between the two
-_SEMDEDUP_SQL = _sql_semdedup_prune()
-_reg("semdedup_prune", q_semdedup_prune, _SEMDEDUP_SQL)
-_reg("bpe_encode_stats", q_bpe_encode_stats, _sql_bpe_encode_stats())
-_reg("semdedup_prune_fast", q_semdedup_prune_fast, _SEMDEDUP_SQL)
+# the four in-window veterans displaced to make room for the session-2
+# ops (registered in their old slots above; each veteran is driver-green
+# in CORRECTNESS_r01 through _r04, and the repo harness + fuzz suite
+# still sweep them every run)
+_reg("pricing_summary", q_pricing_summary, _sql_pricing_summary())
+_reg("broadcast_dim_join", q_broadcast_dim_join, _sql_broadcast_dim_join())
+_reg("semi_join", q_semi_join, _sql_semi_join())
+_reg("running_totals", q_running_totals, _sql_running_totals())
 
 # Rows-only queries in descending driver-visibility priority (they fill
 # whatever slots remain under the driver's 50-entry window after the

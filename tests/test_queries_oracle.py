@@ -66,10 +66,11 @@ def test_registry_driver_window_covers_value_exact():
     else:
         # Round-5 rotation: every overflow member has >=1 committed
         # driver-green CORRECTNESS row (batteries r1-r3, array/map r1-r4,
-        # pivot/correlated r1-r4, image/audio meta r4); the queries that
-        # had NO driver row (video twins, keyword_search_topk,
-        # triangle_parts, and the late-r5 bigram_novelty_scores /
-        # full_outer_reconcile) must be IN-window this round.
+        # pivot/correlated r1-r4, image/audio meta r4, and the four
+        # session-2 sacrifices pricing_summary / broadcast_dim_join /
+        # semi_join / running_totals green in EVERY round r1-r4); the
+        # queries that had NO driver row — the ten mid-r5 rotations AND
+        # the four session-2 ops — must be IN-window this round.
         assert overflow == {
             "string_funcs", "math_funcs", "date_funcs", "set_ops",
             "json_funcs", "array_funcs", "map_funcs", "time_window_agg",
@@ -79,17 +80,18 @@ def test_registry_driver_window_covers_value_exact():
             # earn driver rows the round they were built
             "pivot_events", "correlated_above_avg",
             "distinct_agg", "cube_events", "quality_score",
-            # built AFTER the r5 window was finalized; rotating them in
-            # would displace a query earning its first driver row this
-            # round, so they wait as the r6 rotation head
-            "bpe_train_merges", "semdedup_prune", "bpe_encode_stats",
-            "semdedup_prune_fast",
+            # displaced in r5 session 2 (driver-green in all of r1-r4)
+            # so the session-2 ops earn driver rows this round too
+            "pricing_summary", "broadcast_dim_join",
+            "semi_join", "running_totals",
         }, overflow
         for must_be_in in (
             "multimodal_video_meta", "multimodal_video_frames",
             "keyword_search_topk", "triangle_parts",
             "bigram_novelty_scores", "full_outer_reconcile",
             "dup_span_stats", "bm25_topk", "kmeans_clusters",
+            "bpe_train_merges", "semdedup_prune", "bpe_encode_stats",
+            "semdedup_prune_fast",
         ):
             assert must_be_in in names[:50], must_be_in
 
