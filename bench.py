@@ -143,6 +143,7 @@ HEADLINE = [
     "kmeans_clusters",
     "bpe_train_merges",
     "bpe_encode_stats",
+    "winnow_fingerprints",
     # the SemDeDup SCALE path (block-pair integer matmul per cell; same
     # exact answer as the kernel) is the headline entry; semdedup_prune
     # itself stays registry-only — its self-join pair stage runs at the

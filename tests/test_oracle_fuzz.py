@@ -110,6 +110,9 @@ DOC_QUERIES = [
     # the rlike-$ vs regexp_full_match anchor divergence (r5 finding)
     "bpe_train_merges",
     "bpe_encode_stats",
+    # non-ASCII / newline / empty docs exercise winnowing's printable-
+    # ASCII token domain and zero-gram exclusion on both engines
+    "winnow_fingerprints",
 ]
 EVENT_QUERIES = [
     "json_funcs",

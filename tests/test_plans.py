@@ -441,6 +441,20 @@ def test_semdedup_broadcast_assign_equijoin_pairs(spark):
         assert marker not in plan, marker
 
 
+def test_winnow_jvm_only_no_cartesian(spark):
+    """Winnowing must stay entirely JVM-side (fold-arithmetic hashing,
+    explode-into-windows, groupBy selection) with no Python eval and no
+    cartesian product — the window membership comes from exploding a
+    bounded sequence, never a per-doc self-join."""
+    from engine.queries import q_winnow_fingerprints
+
+    plan = _plan(q_winnow_fingerprints(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInArrow",
+                   "FlatMapGroupsInPandas", "MapInPandas"):
+        assert marker not in plan, marker
+
+
 def test_semdedup_fast_single_arrow_crossing(spark):
     """The scale-path variant's pair stage must be EXACTLY ONE Arrow
     crossing (the per-(cell, block-pair) integer matmul), with the seed

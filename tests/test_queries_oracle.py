@@ -84,6 +84,9 @@ def test_registry_driver_window_covers_value_exact():
             # so the session-2 ops earn driver rows this round too
             "pricing_summary", "broadcast_dim_join",
             "semi_join", "running_totals",
+            # registered after the window was re-finalized: r6 rotation
+            # head (repo-harness value-exact at all SFs meanwhile)
+            "winnow_fingerprints",
         }, overflow
         for must_be_in in (
             "multimodal_video_meta", "multimodal_video_frames",
@@ -328,6 +331,74 @@ def test_bpe_merge_fold_property_batch(spark):
         con.execute(f"SELECT id, {fold} FROM cases ORDER BY id").fetchall()
     )
     assert got_duck == {i: v for i, v in expect.items() if i != 200}
+
+
+def test_winnow_fingerprints_matches_python_reference(spark):
+    """Full independent recomputation of the MOSS winnowing selection in
+    pure Python over the sf0.001 corpus: same tokenizer, same mod-poly
+    hashes, same rightmost-min window rule — the per-doc accounting must
+    match the Spark operator exactly (the oracle twin shares relational
+    structure with the operator, so this guards against a shared
+    misreading of the algorithm)."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    import engine.queries as Q
+
+    k, w, p, m = Q.WINNOW_K, Q.WINNOW_W, Q.WINNOW_P, Q.WINNOW_M
+    tok_re = re.compile(r"^[!-~]{1,64}$")
+    expect = {}
+    for row in pq.read_table(
+        SF_DIR + "/documents.parquet"
+    ).to_pylist():
+        toks = [
+            t
+            for t in (row["text"] or "").split(" ")
+            if tok_re.fullmatch(t)
+        ]
+        th = []
+        for t in toks:
+            h = 0
+            for ch in t:
+                h = (h * 31 + ord(ch)) % m
+            th.append(h)
+        grams = []
+        for i in range(len(th) - k + 1):
+            g = 0
+            for j in range(k):
+                g = (g * p + th[i + j]) % m
+            grams.append(g)
+        if not grams:
+            continue
+        n_starts = max(len(grams) - w + 1, 1)
+        fps = set()
+        for s in range(n_starts):
+            window = grams[s : s + w]
+            best = min(
+                range(len(window)),
+                key=lambda j: (window[j], -j),
+            )
+            fps.add((s + best, window[best]))
+        hashes = [h for _, h in fps]
+        expect[row["doc_id"]] = (
+            len(grams),
+            len(fps),
+            sum(hashes),
+            min(hashes),
+            max(hashes),
+        )
+    got = {
+        r.doc_id: (
+            r.n_grams,
+            r.n_fingerprints,
+            r.fp_hash_sum,
+            r.fp_min,
+            r.fp_max,
+        )
+        for r in Q.q_winnow_fingerprints(spark, SF_DIR).collect()
+    }
+    assert got == expect
 
 
 def test_kmeans_partition_invariant(spark):
