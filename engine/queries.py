@@ -4508,10 +4508,15 @@ def q_triangle_parts(spark, sf_dir):
             F.col("e2.v").alias("pc"),
         )
     )
-    nodes = (
-        tris.select(F.col("pa").alias("part"))
-        .unionAll(tris.select(F.col("pb").alias("part")))
-        .unionAll(tris.select(F.col("pc").alias("part")))
+    # ONE pass over the triangle stream: explode each triangle's 3 nodes
+    # map-side instead of a 3-branch unionAll of projections — the union
+    # re-ran the ENTIRE wedge SMJ + closing probe once PER branch (3
+    # SortMergeJoins in the r6 before-plan; ReuseExchange only dedupes
+    # the shuffles below the join, not the 40M-row join+probe itself).
+    # Same multiset of (part) rows, so the aggregate is value-identical;
+    # measured 13.7 -> ~5 s at sf0.1 (plans/r06/triangle_parts_*.txt).
+    nodes = tris.select(
+        F.explode(F.array("pa", "pb", "pc")).alias("part")
     )
     return (
         nodes.groupBy("part")
