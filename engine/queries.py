@@ -4648,21 +4648,27 @@ def q_pagerank_txn_graph(spark, sf_dir):
     + one bounded groupBy — state is |V| rows of two longs+double, the
     same fixed-rounds join-iterate pattern as engine/cluster.py.
     Construction is fully LAZY (no jobs run until an action): the shared
-    subtrees (edges⋈outdeg, nodes) are persist()-ed so the final plan's
+    subtrees (edges, deg, nodes) are persist()-ed so the final plan's
     8-9 references compute them once at action time, and |V| enters the
     rank update as a crossJoined 1-row aggregate, not a driver scalar."""
     d = PAGERANK_DAMP
-    contrib_src, base, nn = _pagerank_graph(spark, sf_dir)
-    ranks = base.select("id", F.col("r0").alias("r"))
+    edges, nodetab, nn = _pagerank_graph(spark, sf_dir)
+    ranks = nodetab.select("id", F.col("r0").alias("r"), "outdeg")
     for _ in range(PAGERANK_ITERS):
-        ranks = _pagerank_step(contrib_src, base, ranks, d)
+        ranks = _pagerank_step(edges, nodetab, ranks, d)
     return _pagerank_project(ranks, nn)
 
 
 def _pagerank_graph(spark, sf_dir):
     """Shared graph construction for both PageRank variants: persisted
-    (edges⋈outdeg) contribution table, persisted per-node (base, r0)
-    teleport table, and the 1-row node-count aggregate."""
+    narrow (src, dst) edge table, ONE persisted per-node table
+    (id, base, r0, outdeg), and the 1-row node-count aggregate.
+    r6 optimization (guide §2.3/§2.4): the edge cache no longer carries
+    outdeg — outdeg rides inside the rank state instead, so a round
+    needs NO join against a degree table and NO per-round |V|⋈|V|
+    left-outer join or nn crossJoin (see _pagerank_step); this also
+    drops the construction-time edges⋈deg SMJ and narrows the per-round
+    probe cache from (src,dst,outdeg) to (src,dst)."""
     one_minus_d = 1.0 - PAGERANK_DAMP  # computed ONCE in IEEE double; the
     # SQL twin inlines repr() of this exact value — (1-0.85) evaluated in
     # DuckDB's DECIMAL arithmetic is a DIFFERENT double
@@ -4683,7 +4689,9 @@ def _pagerank_graph(spark, sf_dir):
     edges = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).select(
+        F.col("src").alias("id"), "outdeg"
+    )
     # persist (lazy), not eager checkpoints: query CONSTRUCTION stays free
     # (the registry is built/schemas inspected without running 8 jobs), and
     # the shared subtrees — referenced 8-9x by the final plan — compute
@@ -4705,37 +4713,68 @@ def _pagerank_graph(spark, sf_dir):
             # pass hits a warm cache): surface it.
             if getattr(cached, "sparkSession", None) is spark:
                 raise
-    contrib_src = edges.join(deg, "src").persist()
-    nodes = edges.select(F.col("src").alias("id")).distinct().persist()
-    nn = nodes.agg(F.count("*").cast("double").alias("n"))
+    # r6: persist the HALF-size pair table and derive the symmetrized
+    # edge stream from it map-side per reference; the node set needs no
+    # separate distinct — it IS deg's key set (every node is a src of
+    # the symmetrized edges), so the old nodes.distinct() shuffle over
+    # |E| rows and the nodes⋈deg join are gone from construction.
+    pairs = pairs.persist()
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).select(
+        F.col("src").alias("id"), "outdeg"
+    )
+    nn0 = deg.agg(F.count("*").cast("double").alias("n"))
     # hoist the per-node teleport term OUT of the loop: the previous shape
     # re-crossJoined nn and re-derived (1-d)/n inside every iteration —
     # 8 extra 1-row aggregations + broadcast-nested-loop joins per action
-    # at ANY scale. `base` carries it once; each round is then exactly
-    # (join ranks ⋈ contrib_src) + (groupBy dst) + (left join base) —
-    # per-round shuffle payload stays (id, double) rows.
-    base = nodes.crossJoin(nn).select(
-        "id",
-        (F.lit(one_minus_d) / F.col("n")).alias("base"),
-        (F.lit(1.0) / F.col("n")).alias("r0"),
-    ).persist()
-    _PAGERANK_CACHED.extend([contrib_src, nodes, base])
-    return contrib_src, base, nn
+    # at ANY scale. `nodetab` carries it once, together with outdeg and
+    # the initial rank, so a round is exactly (edge probe ⋈ ranks) +
+    # (groupBy dst) + (nodetab ⋈ attach) — per-round shuffle payload
+    # stays (id, double) rows.
+    nodetab = (
+        deg.crossJoin(nn0)
+        .select(
+            "id",
+            (F.lit(one_minus_d) / F.col("n")).alias("base"),
+            (F.lit(1.0) / F.col("n")).alias("r0"),
+            "outdeg",
+        )
+        .persist()
+    )
+    # the nn handed to consumers reads the cached 16k-row node table, not
+    # the |E|-row aggregate; count(*) over nodetab == |nodes| exactly
+    nn = nodetab.agg(F.count("*").cast("double").alias("n"))
+    _PAGERANK_CACHED.extend([pairs, nodetab])
+    return edges, nodetab, nn
 
 
-def _pagerank_step(contrib_src, base, ranks, d):
+def _pagerank_step(edges, nodetab, ranks, d):
     """One damped rank update — the ONE body shared by the fixed-8
     oracle-exact query (lazy unrolled loop) and the eps-convergent
-    variant (materialized loop), so the two can never drift."""
+    variant (materialized loop), so the two can never drift.
+
+    r6 shape (before/after plans in plans/r06/): ranks carries outdeg
+    with it, so the contribution pass is ONE equi-join (cached edges
+    probed by the rank state) with the r/outdeg division inline —
+    identical IEEE doubles, same operands, same operator — and the
+    former per-round LEFT-OUTER join against the base table became an
+    INNER join against the cached nodetab: the symmetrized graph
+    guarantees nodes = {src} = {dst}, so the aggregated contribution
+    table covers every node and coalesce(s, 0) was vacuous.
+    base + d*s evaluates the same operand doubles in the same order as
+    the old base + d*coalesce(s, 0), so ranks are bit-identical."""
     c = (
-        contrib_src.join(ranks, F.col("src") == F.col("id"))
+        edges.join(ranks, edges["src"] == ranks["id"])
         .select("dst", (F.col("r") / F.col("outdeg")).alias("w"))
         .groupBy("dst")
         .agg(F.sum("w").alias("s"))
     )
-    return base.join(c, base["id"] == c["dst"], "left").select(
+    return nodetab.join(c, nodetab["id"] == c["dst"]).select(
         "id",
-        (F.col("base") + F.lit(d) * F.coalesce("s", F.lit(0.0))).alias("r"),
+        (F.col("base") + F.lit(d) * F.col("s")).alias("r"),
+        "outdeg",
     )
 
 
@@ -4769,10 +4808,12 @@ def pagerank_txn_graph_eps(
     added delta-join cost whenever the graph converges before max_iter.
     Raises like connected_components if eps is not reached."""
     d = PAGERANK_DAMP
-    contrib_src, base, nn = _pagerank_graph(spark, sf_dir)
-    ranks = base.select("id", F.col("r0").alias("r")).localCheckpoint()
+    edges, nodetab, nn = _pagerank_graph(spark, sf_dir)
+    ranks = nodetab.select(
+        "id", F.col("r0").alias("r"), "outdeg"
+    ).localCheckpoint()
     for rounds in range(1, max_iter + 1):
-        new = _pagerank_step(contrib_src, base, ranks, d).localCheckpoint()
+        new = _pagerank_step(edges, nodetab, ranks, d).localCheckpoint()
         delta = (
             new.join(
                 ranks.select(F.col("id"), F.col("r").alias("r_prev")), "id"

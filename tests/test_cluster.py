@@ -221,9 +221,9 @@ def test_pagerank_eps_early_exit_and_fixpoint_property(spark):
     assert set(got) == fixed_keys
     # defining property: replay the converged state and take ONE more
     # step — the L-infinity movement must be below eps
-    contrib_src, base, nn = _pagerank_graph(spark, SF)
+    edges, nodetab, nn = _pagerank_graph(spark, SF)
     n = nn.collect()[0]["n"]
-    ranks = base.join(
+    ranks = nodetab.join(
         spark.createDataFrame(
             [(0 if t == "customer" else 1, k, v) for (t, k), v in got.items()],
             "par int, key long, rank_scaled double",
@@ -232,8 +232,8 @@ def test_pagerank_eps_early_exit_and_fixpoint_property(spark):
             (F.col("rank_scaled") / F.lit(float(n))).alias("r"),
         ),
         "id",
-    ).select("id", "r")
-    stepped = _pagerank_step(contrib_src, base, ranks, PAGERANK_DAMP)
+    ).select("id", "r", "outdeg")
+    stepped = _pagerank_step(edges, nodetab, ranks, PAGERANK_DAMP)
     move = (
         stepped.join(ranks.select("id", F.col("r").alias("r0")), "id")
         .agg(F.max(F.abs(F.col("r") - F.col("r0"))).alias("m"))
