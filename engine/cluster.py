@@ -75,17 +75,21 @@ def connected_components(
         F.col(dst).cast("long").alias("dst"),
     ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
     # symmetrize once; checkpoint so per-round actions don't re-run the
-    # (possibly expensive) upstream pair computation
+    # (possibly expensive) upstream pair computation. r6: LAZY
+    # checkpoints — the convergence-sum action below materializes sym,
+    # labels and the sum in ONE job instead of three (each eager
+    # checkpoint was its own job; at near-dup scale the rounds are
+    # latency-bound, so jobs-per-round is the cost that matters).
     sym = (
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iter):
@@ -106,8 +110,11 @@ def connected_components(
         labels = (
             prop.join(l2, prop["label"] == l2["_jid"])
             .select("id", F.col("_jlabel").alias("label"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
+        # ONE action per round: computing the convergence sum materializes
+        # the lazy checkpoint as a side effect (blocks are saved when the
+        # RDD is first computed), so the next round reads cached blocks
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
             return labels

@@ -1278,6 +1278,13 @@ def q_embedding_neardup_pairs_fast(spark, sf_dir):
 _NEARDUP_LSH_BITS = 3
 _NEARDUP_LSH_BANDS = 16
 _NEARDUP_PROD_THETA = 0.9  # the production near-dup operating point
+# Static path split for the verified LSH pipeline (see _neardup_lsh_pairs):
+# codes spaces up to 2^4 mean dense buckets (candidates ~quadratic — score
+# pairs inside bucketed block-pair tasks, never materializing the
+# candidate list); wider code spaces mean sparse buckets where the
+# candidate join + verify moves less data and per-bucket task overhead
+# would dominate.
+_LSH_DENSE_MAX_BITS = 4
 
 
 def _rand_planes(n: int, seed: int) -> list[list[float]]:
@@ -1349,51 +1356,148 @@ def _neardup_lsh_pairs(
                 }
             )
 
-    banded = e.mapInPandas(
-        band_codes, schema="vec_id long, band int, code long"
-    )
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.code") == F.col("b.code"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+    if candidates_only or bits > _LSH_DENSE_MAX_BITS:
+        banded = e.mapInPandas(
+            band_codes, schema="vec_id long, band int, code long"
         )
-        .select(
-            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        a, b = banded.alias("a"), banded.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.code") == F.col("b.code"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(
+                F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+            )
+            .distinct()
         )
-        .distinct()
-    )
-    if candidates_only:
-        return cand
-    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
-    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
-    joined = cand.join(ea, "vec_a").join(eb, "vec_b")
+        if candidates_only:
+            return cand
+        # SPARSE configs (2^bits ≫ typical bucket occupancy, e.g. the
+        # production bits=8/bands=12 point where candidates are ~5% of
+        # all pairs): candidate join + re-attach + row-wise verify moves
+        # the least data, and per-bucket tasks would be dominated by
+        # group-invocation overhead (measured 1.4 s -> 16 s at sf0.1
+        # when the r6 dense path was applied to 110k near-empty
+        # (band, code, ga, gb) groups). This branch is the pre-r6
+        # pipeline, byte-for-byte.
+        ea = e.select(
+            F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+        )
+        eb = e.select(
+            F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
+        )
+        joined = cand.join(ea, "vec_a").join(eb, "vec_b")
 
-    def verify(batches):
+        def verify(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                va = np.array(pdf["emb_a"].tolist(), dtype=np.float64)
+                vb = np.array(pdf["emb_b"].tolist(), dtype=np.float64)
+                sims = np.round(
+                    (va * vb).sum(axis=1)
+                    / (
+                        np.linalg.norm(va, axis=1)
+                        * np.linalg.norm(vb, axis=1)
+                    ),
+                    4,
+                )
+                # keep_all: every candidate leaves with its sim (the
+                # single-pass diagnostics mode); default: threshold filter
+                keep = slice(None) if keep_all else sims >= threshold
+                yield pd.DataFrame(
+                    {
+                        "vec_a": pdf["vec_a"].to_numpy()[keep],
+                        "vec_b": pdf["vec_b"].to_numpy()[keep],
+                        "sim": sims[keep],
+                    }
+                )
+
+        return joined.mapInPandas(
+            verify, schema="vec_a long, vec_b long, sim double"
+        )
+
+    # DENSE configs, r6 restructure (guide §8: decide with small rows —
+    # but here the DECISION needs the payload, so move the payload ONCE):
+    # the old shape self-joined skinny (band, code) rows, DISTINCTed the
+    # candidate pairs (1.74M rows at sf0.1 — 87% of all pairs at the
+    # battery's vacuous 0.30 threshold), then re-attached both 512-byte
+    # embeddings via two joins (~1.8 GB through the exchanges) before an
+    # Arrow verify. Now each (band, code) bucket scores its own pairs in
+    # block-pair Arrow tasks (the semdedup_prune_fast treatment, so one
+    # hot bucket at 10^9 vectors becomes G(G+1)/2 bounded tasks instead
+    # of one quadratic reducer): the only embedding movement is the
+    # bands×(G+1) replication of the input rows (~150 MB here), and only
+    # surviving pairs reach the final dedup. Sims are computed by the
+    # BIT-IDENTICAL numpy expression the old verify used (row-wise
+    # products over (m, 64) float64 — elementwise ops and per-row
+    # pairwise reductions are order-independent of pair orientation), so
+    # the dedup's min(sim) collapses identical copies and the output
+    # rows are unchanged.
+    def band_codes_emb(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            va = np.array(pdf["emb_a"].tolist(), dtype=np.float64)
-            vb = np.array(pdf["emb_b"].tolist(), dtype=np.float64)
-            sims = np.round(
-                (va * vb).sum(axis=1)
-                / (np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)),
-                4,
-            )
-            # keep_all: every candidate leaves with its sim (the
-            # single-pass diagnostics mode); default: threshold filter
-            keep = slice(None) if keep_all else sims >= threshold
+            mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            signs = (mat @ planes_w) > 0
+            codes_m = signs.reshape(len(mat), bands, bits) @ pows
+            n = len(mat)
             yield pd.DataFrame(
                 {
-                    "vec_a": pdf["vec_a"].to_numpy()[keep],
-                    "vec_b": pdf["vec_b"].to_numpy()[keep],
-                    "sim": sims[keep],
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), bands),
+                    "band": np.tile(np.arange(bands, dtype=np.int32), n),
+                    "code": codes_m.reshape(-1),
+                    "embedding": np.repeat(pdf["embedding"].to_numpy(), bands),
                 }
             )
 
-    return joined.mapInPandas(verify, schema="vec_a long, vec_b long, sim double")
+    banded = e.mapInPandas(
+        band_codes_emb,
+        schema="vec_id long, band int, code long, embedding array<double>",
+    )
+    rep = _block_pair_replicate(spark, banded, _NEARDUP_BLOCKS)
+
+    def score_bucket_block_pair(pdf: pd.DataFrame) -> pd.DataFrame:
+        ga, gb = int(pdf["ga"].iloc[0]), int(pdf["gb"].iloc[0])
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        g = pdf["g"].to_numpy()
+        if ga == gb:
+            ii, jj = np.triu_indices(len(ids), k=1)
+        else:
+            am = np.nonzero(g == ga)[0]
+            bm = np.nonzero(g == gb)[0]
+            ii = np.repeat(am, len(bm))
+            jj = np.tile(bm, len(am))
+        va, vb = mat[ii], mat[jj]
+        sims = np.round(
+            (va * vb).sum(axis=1)
+            / (np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)),
+            4,
+        )
+        # keep_all: every candidate leaves with its sim (the
+        # single-pass diagnostics mode); default: threshold filter
+        keep = slice(None) if keep_all else sims >= threshold
+        ia, ib = ids[ii][keep], ids[jj][keep]
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(ia, ib),
+                "vec_b": np.maximum(ia, ib),
+                "sim": sims[keep],
+            }
+        )
+
+    scored = rep.groupBy("band", "code", "ga", "gb").applyInPandas(
+        score_bucket_block_pair, schema="vec_a long, vec_b long, sim double"
+    )
+    # cross-band dedup: every copy of a pair carries the identical sim,
+    # so min() is that sim — same (vec_a, vec_b, sim) rows the old
+    # distinct-then-verify emitted
+    return scored.groupBy("vec_a", "vec_b").agg(F.min("sim").alias("sim"))
 
 
 def q_embedding_neardup_pairs_lsh(spark, sf_dir):
