@@ -109,9 +109,13 @@ _ATTR_RE = re.compile(
 )
 
 
-@dataclass
+@dataclass(slots=True)
 class Block:
-    """One segment of running text between block-tag boundaries."""
+    """One segment of running text between block-tag boundaries.
+
+    slots=True (r6): ~86k Block/_Elem instances per 3k documents sit on
+    the tokenizer's hot path; slotted attribute access and construction
+    measurably cut per-doc cost with zero behavior change."""
 
     node_path: str = ""
     n_words: int = 0
@@ -136,7 +140,7 @@ class Block:
         return " ".join(self.words)
 
 
-@dataclass
+@dataclass(slots=True)
 class _Elem:
     tag: str
     path: str
@@ -185,6 +189,12 @@ def tokenize_blocks(src: str) -> tuple[list[Block], int]:
     anchor_opens: list[int] = []
     cur: Block | None = None
     low: str | None = None
+    # r6 hot-path bindings: one LOAD_FAST instead of a global/attribute
+    # lookup per tag (the loop body runs ~100x per document)
+    _search = _MARKUP_RE.search
+    _find = src.find
+    _VOID, _RAW, _BLOCK = _VOID_TAGS, _RAWTEXT_TAGS, _BLOCK_TAGS
+    _HEADONLY, _IGNORE = _HEAD_ONLY_TAGS, _IGNORE_SUBTREE_TAGS
 
     def state() -> _Elem:
         if stack:
@@ -199,14 +209,16 @@ def tokenize_blocks(src: str) -> tuple[list[Block], int]:
 
     def add_text(run: str, start: int, end: int) -> None:
         nonlocal cur
-        # str.split() == \s+-split + strip + drop-empties, but in C
-        words = _unescape(run).split()
+        # str.split() == \s+-split + strip + drop-empties, but in C;
+        # the _unescape fast path ('&'-free) is inlined here — most runs
+        # carry no entity
+        words = (_html_std.unescape(run) if "&" in run else run).split()
         if not words:
             return
         if cur is None:
             cur = Block()
         if not cur.words:
-            st = state()
+            st = stack[-1] if stack else _ROOT_ELEM
             cur.node_path = st.path or "html"
             cur.start = start
             cur.ignored = st.ignored
@@ -221,40 +233,43 @@ def tokenize_blocks(src: str) -> tuple[list[Block], int]:
         cur.end = end
 
     while i < n:
-        m = _MARKUP_RE.search(src, i)
+        m = _search(src, i)
         if m is None:
             add_text(src[i:], i, n)
             break
         lt, me = m.span()  # one C call for both offsets
         if lt > i:
             add_text(src[i:lt], i, lt)
-        # one C call for all five groups instead of up to four .group(n)
-        g_comment, g_decl, g_close, g_close_tag, g_open_tag = m.groups()
-        if g_comment:  # <!--
-            close = src.find("-->", lt + 4)
+        # r6: dispatch on m.lastindex (comment=1, decl=2, bare close=3,
+        # named close=4, open=5, bare '<'=None) — no 5-tuple allocation,
+        # no per-branch truthiness tests, most-common case (open) first
+        li = m.lastindex
+        if li == 5:  # open tag (regex guarantees a non-empty name)
+            pass
+        elif li is None or li == 3:  # bare '<' / '</' with no tag name
+            add_text("<", lt, lt + 1)
+            i = lt + 1
+            continue
+        elif li == 1:  # <!--
+            close = _find("-->", lt + 4)
             i = n if close == -1 else close + 3
             n_tags += 1
             continue
-        if g_decl:  # <! / <?
-            close = src.find(">", lt + 2)
+        elif li == 2:  # <! / <?
+            close = _find(">", lt + 2)
             i = n if close == -1 else close + 1
             n_tags += 1
             continue
-        if g_close:  # </
-            tag = g_close_tag
-            if not tag:
-                add_text("<", lt, lt + 1)
-                i = lt + 1
-                continue
-            tag = tag.lower()
-            close = src.find(">", me)
+        else:  # li == 4: close tag with a name
+            tag = m.group(4).lower()
+            close = _find(">", me)
             i = n if close == -1 else close + 1
             n_tags += 1
             if tag == "a":
                 if anchor_opens:
                     anchor_opens.pop()
                 continue
-            if tag in _BLOCK_TAGS:
+            if tag in _BLOCK:
                 if cur is not None:  # inlined flush() (hot path)
                     if cur.words:
                         blocks.append(cur)
@@ -273,23 +288,20 @@ def tokenize_blocks(src: str) -> tuple[list[Block], int]:
             # (</span>, </b>) never terminate an anchor: browsers
             # reconstruct formatting elements across them, so
             # '<span><a>x</span> y' keeps y as anchor text.
-            if tag in _BLOCK_TAGS:
+            if tag in _BLOCK:
                 while anchor_opens and anchor_opens[-1] > len(stack):
                     anchor_opens.pop()
             continue
-        tag = g_open_tag
-        if not tag:  # bare '<' that starts no markup
-            add_text("<", lt, lt + 1)
-            i = lt + 1
-            continue
-        tag = tag.lower()
+        tag = m.group(5).lower()
         # find tag end, honouring quoted attribute values. Fast path: C-level
         # find('>'); the char-by-char scan only runs when the attr segment
         # contains quotes (which may hide a '>').
-        j = src.find(">", me)
+        j = _find(">", me)
         if j == -1:
             j = n
-        elif '"' in src[me:j] or "'" in src[me:j]:
+        elif _find('"', me, j) != -1 or _find("'", me, j) != -1:
+            # ranged find (r6): same predicate as '"' in src[me:j] with
+            # no substring copy per tag
             j = me
             in_q = ""
             while j < n:
@@ -302,21 +314,22 @@ def tokenize_blocks(src: str) -> tuple[list[Block], int]:
                 elif c == ">":
                     break
                 j += 1
-        raw_attrs = src[me:j]
-        # fast path: no trailing-whitespace rstrip unless the last char is ws
-        last = raw_attrs[-1:]
+        # fast path: no trailing-whitespace rstrip unless the last char is
+        # ws; the attr segment is only SLICED when a class/id hint needs
+        # parsing below (r6 — the slice per tag was measurable)
+        last = src[j - 1] if j > me else ""
         self_close = last == "/" or (
-            last.isspace() and raw_attrs.rstrip().endswith("/")
+            last.isspace() and src[me:j].rstrip().endswith("/")
         )
         i = j + 1 if j < n else n
         n_tags += 1
 
-        if tag in _BLOCK_TAGS:
+        if tag in _BLOCK:
             if cur is not None:  # inlined flush() (hot path)
                 if cur.words:
                     blocks.append(cur)
                 cur = None
-        if tag not in _HEAD_ONLY_TAGS and tag not in ("html", "head"):
+        if tag not in _HEADONLY and tag not in ("html", "head"):
             # implicit </head> on the first body-content tag (recovery)
             for d in range(len(stack) - 1, -1, -1):
                 if stack[d].tag == "head":
@@ -328,12 +341,12 @@ def tokenize_blocks(src: str) -> tuple[list[Block], int]:
         # void/self-closing check must precede the anchor-open record: a
         # self-closing <a/> has no matching </a>, so recording it would
         # leak an open anchor and classify the document tail as anchor text
-        if tag in _VOID_TAGS or self_close:
+        if tag in _VOID or self_close:
             continue
         if tag == "a":
             anchor_opens.append(len(stack))
             continue
-        if tag in _RAWTEXT_TAGS:
+        if tag in _RAW:
             # skip raw content up to the matching close tag (case-insensitive)
             if low is None:
                 low = src.lower()  # lazily, once per document
@@ -341,24 +354,25 @@ def tokenize_blocks(src: str) -> tuple[list[Block], int]:
             if close == -1:
                 i = n
             else:
-                gt = src.find(">", close)
+                gt = _find(">", close)
                 i = n if gt == -1 else gt + 1
             n_tags += 1
             continue
 
-        st = state()
+        st = stack[-1] if stack else _ROOT_ELEM
         counts = child_counts[-1]
         idx = counts.get(tag, 0) + 1
         counts[tag] = idx
         path = f"{st.path}/{tag}[{idx}]" if st.path else f"{tag}[{idx}]"
         neg, pos = st.neg, st.pos
         # attr parse only when a class/id hint can possibly be present
-        if "class" in raw_attrs or "id" in raw_attrs:
-            attrs = _parse_attrs(raw_attrs)
+        # (ranged find == substring membership on src[me:j], zero-copy)
+        if _find("class", me, j) != -1 or _find("id", me, j) != -1:
+            attrs = _parse_attrs(src[me:j])
             hint_src = (attrs.get("class", "") + " " + attrs.get("id", "")).strip()
             neg = neg or bool(hint_src and _NEGATIVE_HINT.search(hint_src))
             pos = pos or bool(hint_src and _POSITIVE_HINT.search(hint_src))
-        ignored = st.ignored or tag in _IGNORE_SUBTREE_TAGS
+        ignored = st.ignored or tag in _IGNORE
         container = path if tag in _CONTAINER_TAGS else st.container
         heading = st.heading or tag in ("h1", "h2", "h3", "h4", "h5", "h6", "title")
         stack.append(_Elem(tag, path, ignored, neg, pos, container, heading))
