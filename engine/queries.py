@@ -1778,6 +1778,26 @@ def _kmeans_dist():
     )
 
 
+# persisted per-round assignment frames of the LAST kmeans call —
+# released on the next call (the _PAGERANK_CACHED convention: bounded
+# session leak, honest bench timing)
+_KMEANS_CACHED: list = []
+
+
+def _release_round_caches(cached: list, spark) -> None:
+    """Release the previous call's per-round persists (the
+    _PAGERANK_CACHED convention): stale handles from a stopped session
+    must not crash construction; a failure on the CURRENT session is a
+    real leak and surfaces."""
+    while cached:
+        c = cached.pop()
+        try:
+            c.unpersist()
+        except Exception:
+            if getattr(c, "sparkSession", None) is spark:
+                raise
+
+
 def q_kmeans_clusters(spark, sf_dir, _checkpoint=True):
     """Value-exact Lloyd k-means (K=8, 3 assignment rounds) over integer-
     quantized embeddings — the partition-clustering family next to the
@@ -1802,6 +1822,7 @@ def q_kmeans_clusters(spark, sf_dir, _checkpoint=True):
     only K x n_partitions partial (sum-vector, count) rows — the
     textbook distributed-k-means plan. Empty clusters drop out (groupBy
     semantics, mirrored by the twin)."""
+    _release_round_caches(_KMEANS_CACHED, spark)
     e = _t_spread(spark, sf_dir, "embeddings")
     pts = e.where(
         F.col("embedding").isNotNull()
@@ -1848,9 +1869,18 @@ def q_kmeans_clusters(spark, sf_dir, _checkpoint=True):
             # fixpoint: each round's plan would otherwise embed every
             # previous round, and a failure would recompute the whole
             # chain instead of one round (tests pass _checkpoint=False to
-            # pin the full multi-round plan shape, which checkpointing
-            # hides behind an RDD scan)
-            assign = assign.localCheckpoint(eager=False)
+            # pin the full multi-round plan shape, which caching hides
+            # behind an InMemoryRelation). r6: lazy persist() instead of
+            # localCheckpoint(eager=False) — the lazy checkpoint still
+            # PHYSICALLY PLANS each round at construction time (.rdd
+            # analyzes and plans the cumulative plan; measured 2.9 s of
+            # the query's 3.3 s at sf0.1), while persist() defers all
+            # planning to the action and the CacheManager substitutes
+            # each round's InMemoryRelation during analysis, so the
+            # optimizer never sees more than one round. Previous call's
+            # caches are released below (the pagerank convention).
+            assign = assign.persist()
+            _KMEANS_CACHED.append(assign)
     mass = F.expr(
         " + ".join(f"element_at(q, {d})" for d in range(1, KMEANS_DIM + 1))
     )
@@ -3760,19 +3790,20 @@ def _bpe_merge_fold(syms, pa, pb):
     merged symbol (which is then NOT eligible to re-merge in this pass —
     exactly the non-overlap rule); else append. All arguments are
     attributes (named columns), so the interpreted-HOF re-evaluation trap
-    (memory: lambda child re-eval) does not bite."""
-    return F.aggregate(
-        syms,
-        F.expr("CAST(array() AS ARRAY<STRING>)"),
-        lambda acc, x: F.when(
-            (F.size(acc) > 0)
-            & (F.element_at(acc, -1) == pa)
-            & (x == pb),
-            F.concat(
-                F.slice(acc, 1, F.size(acc) - 1),
-                F.array(F.concat(pa, pb)),
-            ),
-        ).otherwise(F.concat(acc, F.array(x))),
+    (memory: lambda child re-eval) does not bite.
+
+    r6: built as ONE F.expr string instead of the Column-DSL lambda —
+    the DSL composed ~25 py4j round trips per call site (8 sites across
+    the two BPE queries), while one string parses in microseconds; the
+    parsed tree resolves to the identical Catalyst expression (CASE WHEN
+    == when/otherwise), so plans and results are unchanged."""
+    s, a, b = syms._jc.toString(), pa._jc.toString(), pb._jc.toString()
+    return F.expr(
+        f"aggregate({s}, CAST(array() AS ARRAY<STRING>), (acc, x) -> "
+        f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = {a} "
+        f"AND x = {b} "
+        f"THEN concat(slice(acc, 1, size(acc) - 1), array(concat({a}, {b}))) "
+        f"ELSE concat(acc, array(x)) END)"
     )
 
 
@@ -3808,6 +3839,21 @@ def _bpe_best(cur):
     )
 
 
+# persisted per-round vocab frames of the LAST bpe call — released on
+# the next call (the _PAGERANK_CACHED convention). r6: persist() instead
+# of localCheckpoint(eager=False): the lazy checkpoint physically plans
+# every round at CONSTRUCTION time (~1s of py4j/planning per bpe query
+# at sf0.1), while lazy persist defers planning to the action and the
+# CacheManager truncates each round behind an InMemoryRelation.
+_BPE_CACHED: list = []
+
+
+def _bpe_round_cache(df):
+    df = df.persist()
+    _BPE_CACHED.append(df)
+    return df
+
+
 def q_bpe_train_merges(spark, sf_dir, _checkpoint=True):
     """Relational BPE tokenizer training — the corpus-scale op every LLM
     pipeline runs exactly once before anything tokenizes: learn the first
@@ -3831,6 +3877,7 @@ def q_bpe_train_merges(spark, sf_dir, _checkpoint=True):
     sort-limit, and the merge pass is map-side with the 1-row best pair
     broadcast — no corpus rescan ever. Per-round localCheckpoint is the
     pagerank/kmeans fixpoint treatment."""
+    _release_round_caches(_BPE_CACHED, spark)
     d = _t(spark, sf_dir, "documents")
     words = (
         d.select(
@@ -3857,7 +3904,7 @@ def q_bpe_train_merges(spark, sf_dir, _checkpoint=True):
     if _checkpoint:
         # the histogram feeds every round's pair count AND merge pass;
         # truncate so it computes once
-        cur = cur.localCheckpoint(eager=False)
+        cur = _bpe_round_cache(cur)
     out = []
     for r in range(1, BPE_ROUNDS + 1):
         best = _bpe_best(cur)
@@ -3879,7 +3926,7 @@ def q_bpe_train_merges(spark, sf_dir, _checkpoint=True):
             ).alias("syms"),
         )
         if _checkpoint:
-            merged = merged.localCheckpoint(eager=False)
+            merged = _bpe_round_cache(merged)
         out.append(
             merged.groupBy("mpa", "mpb", "mpc")
             .agg(
@@ -3990,6 +4037,7 @@ def q_bpe_encode_stats(spark, sf_dir, _checkpoint=True):
     vocabulary-sized instead of corpus-sized. The vocab-word join is a
     shuffle equi-join (both sides vocabulary-scale at most; AQE
     broadcasts it when small)."""
+    _release_round_caches(_BPE_CACHED, spark)
     d = _t(spark, sf_dir, "documents")
     wsrc = (
         d.select(
@@ -4004,7 +4052,7 @@ def q_bpe_encode_stats(spark, sf_dir, _checkpoint=True):
     )
     if _checkpoint:
         # feeds both the global histogram and the final rollup
-        wsrc = wsrc.localCheckpoint(eager=False)
+        wsrc = _bpe_round_cache(wsrc)
     wglob = wsrc.groupBy("w").agg(F.sum("cnt").alias("cnt"))
     syms = F.expr(
         "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
@@ -4016,8 +4064,8 @@ def q_bpe_encode_stats(spark, sf_dir, _checkpoint=True):
     )
     wtok = wglob.select("w", syms.alias("syms"))
     if _checkpoint:
-        cur = cur.localCheckpoint(eager=False)
-        wtok = wtok.localCheckpoint(eager=False)
+        cur = _bpe_round_cache(cur)
+        wtok = _bpe_round_cache(wtok)
     for _r in range(1, BPE_ROUNDS + 1):
         best = _bpe_best(cur)
         fold = _bpe_merge_fold(F.col("syms"), F.col("mpa"), F.col("mpb"))
@@ -4031,8 +4079,8 @@ def q_bpe_encode_stats(spark, sf_dir, _checkpoint=True):
             "w", fold.alias("syms")
         )
         if _checkpoint:
-            cur = cur.localCheckpoint(eager=False)
-            wtok = wtok.localCheckpoint(eager=False)
+            cur = _bpe_round_cache(cur)
+            wtok = _bpe_round_cache(wtok)
     return (
         wsrc.join(wtok, "w")
         .groupBy("source")
