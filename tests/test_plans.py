@@ -71,15 +71,30 @@ def test_blocked_neardup_plan_shape(spark):
 
 
 def test_lsh_neardup_plan_shape(spark):
-    """Sub-quadratic near-dup path: the candidate join is a real hash/merge
-    join on (band, code) — no cartesian, no nested loop; verification is
-    Arrow-batched."""
-    from engine.queries import q_embedding_neardup_pairs_lsh
+    """Sub-quadratic near-dup path, r6 dense shape: band codes cross once
+    (MapInPandas), pairs are scored inside bucketed block-pair Arrow
+    tasks (FlatMapGroupsInPandas) — the only nested loop is the
+    broadcast replication against the tiny block-pair table (the
+    fast-kernel pattern); no cartesian product, no candidate
+    re-attachment joins."""
+    from engine.queries import _neardup_lsh_pairs, q_embedding_neardup_pairs_lsh
 
     plan = _plan(q_embedding_neardup_pairs_lsh(spark, SF))
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
     assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "BroadcastExchange" in plan
+
+    # SPARSE configs (production bits=8) keep the candidate equi-join +
+    # verify shape: a real hash/merge join on (band, code), no nested
+    # loop anywhere, Arrow-batched verification
+    sparse = _plan(
+        _neardup_lsh_pairs(spark, SF, bits=8, bands=12, threshold=0.9)
+    )
+    assert "CartesianProduct" not in sparse
+    assert "BroadcastNestedLoopJoin" not in sparse
+    assert "MapInPandas" in sparse
 
 
 def test_token_correction_stats_map_only_jvm(spark):
