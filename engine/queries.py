@@ -1969,12 +1969,21 @@ def _sd_terms(fmt):
     return " + ".join(fmt.format(d=d) for d in range(1, SEMDEDUP_DIM + 1))
 
 
+_SEMDEDUP_CACHED: list = []
+
+
 def _semdedup_assign(spark, sf_dir):
     """Shared first half of both semdedup variants: quantize + validate,
     then Voronoi-assign every point to the K=8 smallest-vec_id seeds via
     a broadcast nested loop with pure-BIGINT squared-L2 argmin (cid-asc
     tie-break). Returns (pts, asg) — pts so the oracle-kernel variant can
-    run its quarantine count without triggering the assignment."""
+    run its quarantine count without triggering the assignment.
+
+    r6: asg is lazily persist()-ed — both variants consume it TWICE (the
+    pair stage and the keep/prune summary join), and without the cache
+    the scan+quantize+argmin subtree executed once per reference.
+    Previous call's cache is released here (the pagerank convention)."""
+    _release_round_caches(_SEMDEDUP_CACHED, spark)
     e = _t_spread(spark, sf_dir, "embeddings")
     n2 = F.expr(_sd_terms("element_at(q, {d}) * element_at(q, {d})"))
     pts = (
@@ -2014,7 +2023,9 @@ def _semdedup_assign(spark, sf_dir):
             F.col("m.q").alias("q"),
             F.col("m.n2").alias("n2"),
         )
+        .persist()
     )
+    _SEMDEDUP_CACHED.append(asg)
     return pts, asg
 
 
