@@ -5326,45 +5326,158 @@ def q_multimodal_audio_loudest(spark, sf_dir):
 def q_interval_join_events(spark, sf_dir):
     """Interval/range join WITHOUT an equality key: every 'purchase' event
     anchors a [ts, ts+1h) window; count/score all events (any user)
-    falling inside it. The naive plan is a cartesian nested-loop with a
-    range predicate — O(|anchors| x |events|). Instead each interval is
-    decomposed into the <=2 hour buckets it covers (explode over a
-    2-element sequence), events are bucketed by date_trunc('hour'), and
-    the join runs as an EQUI-join on the bucket with the range check as a
-    post-join filter. Each event lives in exactly one bucket, so no pair
-    dedup is needed. At 100 TB this is the standard time-bucketed range
-    join: shuffle keys are hour buckets (bounded cardinality, naturally
-    balanced), and the per-bucket fan-out is |anchors_in_bucket| x
-    |events_in_bucket| — the true output size, not the cartesian.
-    Null-ts rows are outside every interval (dropped both sides)."""
+    falling inside it.
+
+    r6 restructure (guide §1.2 step 1 — fix the algorithm): the previous
+    hour-bucket EQUI-join enumerated |anchors_in_bucket| ×
+    |events_in_bucket| pairs, which is quadratic in event DENSITY — 3.2 s
+    at sf0.1 became 468 s at sf1.0 (measured; ~90M pair rows). The fixed
+    1-hour window makes every aggregate a difference of PREFIX SUMS, so
+    no pair is ever materialized:
+
+      * n_in_window(a) = C(a.ts+1h) − C(a.ts), where C(x) = #events with
+        ts < x — an event t covers exactly the anchors with
+        a.ts ∈ (t−1h, t].
+      * value_cents(a) = the same difference over running cents sums
+        (nullability preserved: a separate non-null-cents counter decides
+        NULL-when-no-priced-event, matching SUM's null-skipping).
+      * n_users(a) = count(DISTINCT user) decomposes via per-user MERGED
+        coverage intervals: user u covers a iff a.ts ∈ ∪_i (t_i−1h, t_i],
+        and merging (the sessionize pattern, gap > 1h starts a new
+        interval) makes the union disjoint, so the distinct count is
+        #starts(s < a.ts) − #ends(e < a.ts) — two more running counts.
+
+    Everything is INTEGER arithmetic (counts and bigint cents), so prefix
+    sums and their differences are exact — value parity with the oracle's
+    direct IEJoin is preserved bit-for-bit (verified at sf0.01/0.1/1.0).
+
+    Scale shape: ONE union of events + 2 interval boundaries per merged
+    user-session + 2 probe rows per anchor, running-summed inside
+    hour-bucket partitions (bounded, naturally balanced keys — the same
+    distribution the old join shuffled), plus an exclusive prefix over
+    the BUCKET-GRAIN totals (one row per hour — O(time range), broadcast
+    back). That is the textbook distributed sweep: O(|events| + |anchors|)
+    rows through bounded-key shuffles, no global single-partition window,
+    no pair fan-out at any scale. Null-ts rows are outside every interval
+    (dropped both sides); null-user events count in n_in_window but never
+    in n_users (COUNT(DISTINCT) skips NULLs on both engines)."""
+    one_h = F.expr("INTERVAL 1 HOUR")
+    zero = F.lit(0).cast("long")
     ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
-    anchors = ev.where(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("anchor_id"),
-        F.col("ts").alias("w_start"),
-        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("w_end"),
+    cents = F.round(F.col("value") * 100).cast("long")
+
+    # measure rows: one per event (position = its ts)
+    evrow = ev.select(
+        F.col("ts").alias("pos"),
+        F.lit(1).alias("typ"),  # boundaries sort AFTER probes at equal pos
+        F.lit(None).cast("long").alias("anchor_id"),
+        F.lit(0).alias("kind"),
+        F.lit(1).cast("long").alias("m_ev"),
+        F.coalesce(cents, zero).alias("m_cents"),
+        cents.isNotNull().cast("long").alias("m_nn"),
+        zero.alias("m_start"),
+        zero.alias("m_end"),
     )
-    a_b = anchors.select(
-        "*",
-        F.explode(
-            F.sequence(
-                F.date_trunc("hour", "w_start"),
-                F.date_trunc("hour", "w_end"),
-                F.expr("INTERVAL 1 HOUR"),
-            )
-        ).alias("bucket"),
-    )
-    e_b = ev.select(
-        "ts", "user_id", "value", F.date_trunc("hour", "ts").alias("bucket")
-    )
-    return (
-        a_b.join(e_b, "bucket")
-        .where((F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end")))
-        .groupBy("anchor_id")
-        .agg(
-            F.count("*").alias("n_in_window"),
-            F.countDistinct("user_id").alias("n_users"),
-            _cents("value").alias("value_cents"),
+    # per-user merged coverage intervals (sessionize with a 1h gap)
+    wu = W.partitionBy("user_id").orderBy("ts")
+    gap_new = F.when(
+        F.lag("ts").over(wu).isNull()
+        | (F.col("ts") > F.lag("ts").over(wu) + one_h),
+        1,
+    ).otherwise(0)
+    sess = (
+        ev.where(F.col("user_id").isNotNull())
+        .select("user_id", "ts", gap_new.alias("new_s"))
+        .withColumn(
+            "sno",
+            F.sum("new_s").over(wu.rowsBetween(W.unboundedPreceding, 0)),
         )
+        .groupBy("user_id", "sno")
+        .agg(F.min("ts").alias("ts_min"), F.max("ts").alias("ts_max"))
+    )
+    boundary = lambda pos_col, which: sess.select(  # noqa: E731
+        pos_col.alias("pos"),
+        F.lit(1).alias("typ"),
+        F.lit(None).cast("long").alias("anchor_id"),
+        F.lit(0).alias("kind"),
+        zero.alias("m_ev"),
+        zero.alias("m_cents"),
+        zero.alias("m_nn"),
+        (F.lit(1) if which == "s" else F.lit(0)).cast("long").alias("m_start"),
+        (F.lit(1) if which == "e" else F.lit(0)).cast("long").alias("m_end"),
+    )
+    starts = boundary(F.col("ts_min") - one_h, "s")
+    ends = boundary(F.col("ts_max"), "e")
+    # probe rows: window start (kind 0) and end (kind 1) per anchor
+    anchors = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("anchor_id"), F.col("ts")
+    )
+    probe = lambda pos_col, kind: anchors.select(  # noqa: E731
+        pos_col.alias("pos"),
+        F.lit(0).alias("typ"),
+        "anchor_id",
+        F.lit(kind).alias("kind"),
+        zero.alias("m_ev"),
+        zero.alias("m_cents"),
+        zero.alias("m_nn"),
+        zero.alias("m_start"),
+        zero.alias("m_end"),
+    )
+    sweep = (
+        evrow.unionByName(starts)
+        .unionByName(ends)
+        .unionByName(probe(F.col("ts"), 0))
+        .unionByName(probe(F.col("ts") + one_h, 1))
+        .withColumn("bucket", F.date_trunc("hour", "pos"))
+    )
+    # level 1: running sums inside each hour bucket; probes (typ 0) sort
+    # before same-position boundary rows, so a probe at x accumulates
+    # exactly the strict-< prefix — deterministic regardless of tie order
+    # among boundary rows (integer sums are order-free)
+    wb = W.partitionBy("bucket").orderBy("pos", "typ").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    measures = ["m_ev", "m_cents", "m_nn", "m_start", "m_end"]
+    cum = sweep.select(
+        "bucket",
+        "anchor_id",
+        "kind",
+        "typ",
+        *[F.sum(m).over(wb).alias(f"c_{m}") for m in measures],
+    )
+    # level 2: exclusive prefix over bucket-grain totals (one row per
+    # hour — O(time range), broadcast back to the probes)
+    wo = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    offs = (
+        sweep.groupBy("bucket")
+        .agg(*[F.sum(m).alias(f"t_{m}") for m in measures])
+        .select(
+            "bucket",
+            *[
+                F.coalesce(F.sum(f"t_{m}").over(wo), zero).alias(f"o_{m}")
+                for m in measures
+            ],
+        )
+    )
+    probes = cum.where(F.col("typ") == 0).join(F.broadcast(offs), "bucket")
+    tot = {m: F.col(f"o_{m}") + F.col(f"c_{m}") for m in measures}
+    sgn = F.when(F.col("kind") == 1, F.lit(1)).otherwise(F.lit(-1))
+    res = probes.groupBy("anchor_id").agg(
+        F.sum(sgn * tot["m_ev"]).alias("n_in_window"),
+        # only the window-start probe (kind 0) carries the coverage count
+        F.sum(
+            F.when(F.col("kind") == 0, tot["m_start"] - tot["m_end"]).otherwise(
+                zero
+            )
+        ).alias("n_users"),
+        F.sum(sgn * tot["m_cents"]).alias("_cents_diff"),
+        F.sum(sgn * tot["m_nn"]).alias("_nn"),
+    )
+    return res.select(
+        "anchor_id",
+        "n_in_window",
+        "n_users",
+        F.when(F.col("_nn") > 0, F.col("_cents_diff")).alias("value_cents"),
     )
 
 

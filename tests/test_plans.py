@@ -133,17 +133,21 @@ def test_window_analytics_single_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
-def test_interval_join_is_bucketed_equi_join(spark):
-    """The range join must run as an equi-join on hour buckets with the
-    range predicate inlined — the naive plan (nested-loop over the range
-    condition alone) is the O(|anchors| x |events|) cartesian that dies at
-    scale."""
+def test_interval_join_is_swept_not_paired(spark):
+    """The fixed-window range join must never enumerate (anchor, event)
+    pairs (the r5 hour-bucket equi-join was quadratic in event density —
+    468 s at sf1.0): the r6 sweep computes every aggregate as differences
+    of bucket-partitioned running sums, so the only join is the broadcast
+    attach of the bucket-offset totals — no cartesian, no nested loop,
+    and Window running sums over the hour-bucket partitioning."""
     from engine.queries import q_interval_join_events
 
     plan = _plan(q_interval_join_events(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+    assert "BroadcastHashJoin" in plan  # the bucket-offset attach
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan  # nothing pair-shaped survives
 
 
 def test_sessionize_single_shuffle(spark):
