@@ -1432,12 +1432,11 @@ def _neardup_lsh_pairs(
     # hot bucket at 10^9 vectors becomes G(G+1)/2 bounded tasks instead
     # of one quadratic reducer): the only embedding movement is the
     # bands×(G+1) replication of the input rows (~150 MB here), and only
-    # surviving pairs reach the final dedup. Sims are computed by the
-    # BIT-IDENTICAL numpy expression the old verify used (row-wise
-    # products over (m, 64) float64 — elementwise ops and per-row
-    # pairwise reductions are order-independent of pair orientation), so
-    # the dedup's min(sim) collapses identical copies and the output
-    # rows are unchanged.
+    # surviving pairs reach the final dedup. Sims come from a normalized
+    # BLAS matmul (the exact-fast-kernel formulation; see the scorer
+    # comment for the last-ulp-before-round caveat); every copy of a
+    # pair is scored by the same deterministic computation, so the
+    # dedup's min(sim) collapses identical copies.
     def band_codes_emb(batches):
         for pdf in batches:
             if len(pdf) == 0:
@@ -1462,32 +1461,45 @@ def _neardup_lsh_pairs(
     rep = _block_pair_replicate(spark, banded, _NEARDUP_BLOCKS)
 
     def score_bucket_block_pair(pdf: pd.DataFrame) -> pd.DataFrame:
+        # normalized BLAS matmul, the exact-fast-kernel formulation:
+        # per-pair row materialization ((va*vb).sum(axis=1) over fancy-
+        # indexed copies) moved ~2×128 B per scored pair through memory
+        # and was the sf1.0 bottleneck (~100 GB of traffic, 43 s); the
+        # matmul scores the same pairs at BLAS speed. Sims can differ
+        # from the old row-wise reduction only in the last ulp BEFORE the
+        # 4-decimal round (different summation order), the same
+        # already-accepted divergence the exact kernel has vs the old
+        # verify; the operator is rows-only/probabilistic and its pins
+        # (recall, determinism) are unaffected.
         ga, gb = int(pdf["ga"].iloc[0]), int(pdf["gb"].iloc[0])
         ids = pdf["vec_id"].to_numpy()
         mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
         g = pdf["g"].to_numpy()
         if ga == gb:
-            ii, jj = np.triu_indices(len(ids), k=1)
+            sims_m = np.round(mat @ mat.T, 4)
+            if keep_all:
+                ii, jj = np.triu_indices(len(ids), k=1)
+            else:
+                ii, jj = np.nonzero(np.triu(sims_m >= threshold, 1))
+            sims = sims_m[ii, jj]
+            ia, ib = ids[ii], ids[jj]
         else:
             am = np.nonzero(g == ga)[0]
             bm = np.nonzero(g == gb)[0]
-            ii = np.repeat(am, len(bm))
-            jj = np.tile(bm, len(am))
-        va, vb = mat[ii], mat[jj]
-        sims = np.round(
-            (va * vb).sum(axis=1)
-            / (np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)),
-            4,
-        )
-        # keep_all: every candidate leaves with its sim (the
-        # single-pass diagnostics mode); default: threshold filter
-        keep = slice(None) if keep_all else sims >= threshold
-        ia, ib = ids[ii][keep], ids[jj][keep]
+            sims_m = np.round(mat[am] @ mat[bm].T, 4)
+            if keep_all:
+                ii = np.repeat(np.arange(len(am)), len(bm))
+                jj = np.tile(np.arange(len(bm)), len(am))
+            else:
+                ii, jj = np.nonzero(sims_m >= threshold)
+            sims = sims_m[ii, jj]
+            ia, ib = ids[am][ii], ids[bm][jj]
         return pd.DataFrame(
             {
                 "vec_a": np.minimum(ia, ib),
                 "vec_b": np.maximum(ia, ib),
-                "sim": sims[keep],
+                "sim": sims,
             }
         )
 
