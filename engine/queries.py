@@ -2179,7 +2179,14 @@ def q_semdedup_prune_fast(spark, sf_dir):
             ia, ib = np.arange(len(ids)), np.arange(len(ids))
         else:
             ia, ib = np.nonzero(g == ga)[0], np.nonzero(g == gb)[0]
-        dots = q[ia] @ q[ib].T
+        # r6: run the dot through float64 BLAS and cast back — EXACT, not
+        # approximate: every product is <= (SEMDEDUP_SCALE+1)^2 ~ 1e4 and
+        # every partial sum <= 64 * 1e4 ~ 6.4e5, far below 2^53, so each
+        # float64 intermediate represents the integer exactly regardless
+        # of summation order. numpy's int64 matmul is a scalar C loop
+        # (no integer BLAS) and was the task-time bottleneck.
+        qf = q.astype(np.float64)
+        dots = (qf[ia] @ qf[ib].T).astype(np.int64)
         ok = (dots > 0) & (
             t2d * dots * dots >= t2n * np.outer(n2[ia], n2[ib])
         )
