@@ -4597,6 +4597,9 @@ def _sql_bm25_topk():
 # wedge set orders of magnitude larger, far past what any static
 # autoBroadcastJoinThreshold would allow, and safely below driver limits.
 TRIANGLE_BROADCAST_MAX_EDGES = 10_000_000
+# persisted edge table of the LAST triangle call (released on the next
+# call — the _PAGERANK_CACHED convention)
+_TRIANGLE_EDGE_CACHE: list = []
 # The Σ C(k,2) pair bound is dataset-level metadata — computed once per
 # input, not once per call (the gate threshold itself is compared fresh
 # each call, so tests can still flip it). Keyed by (path, mtime_ns, size)
@@ -4652,12 +4655,18 @@ def q_triangle_parts(spark, sf_dir):
             F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
         )
         .distinct()
-        # NOT checkpointed: the dedup feeds three consumers, but
-        # ReuseExchange already covers the expensive pair shuffle and the
-        # re-run final aggregation is cheap — a lazy localCheckpoint was
-        # MEASURED SLOWER at sf0.1 (11.7/7.2 s vs 8.1/7.0 s plain; the
-        # checkpoint write outweighs the saved recompute)
+        # r6: lazily persist()-ed — the dedup feeds three consumers
+        # (e1, e2, broadcast e3); ReuseExchange covers the pair shuffle
+        # but the post-shuffle dedup HashAggregate re-ran once PER
+        # consumer (3x over 13.5M pair rows at sf1.0). Measured: neutral
+        # at sf0.1 (4.61 vs 4.66 s), 43 -> 26 s at sf1.0. (r5 tried a
+        # lazy localCheckpoint and measured it SLOWER at sf0.1 — the
+        # checkpoint write cost; persist has no such write and the
+        # CacheManager substitution keeps construction lazy.)
+        .persist()
     )
+    _release_round_caches(_TRIANGLE_EDGE_CACHE, spark)
+    _TRIANGLE_EDGE_CACHE.append(edges)
     key = _triangle_cache_key(sf_dir)
     if key is None or _TRIANGLE_BOUND_CACHE.get(sf_dir, (None, None))[0] != key:
         bound = (
