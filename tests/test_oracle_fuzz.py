@@ -335,6 +335,45 @@ def test_bpe_survives_merge_exhaustion(spark, tmp_path):
     assert tr[3] == (None, None, None, 4)
 
 
+def test_triangle_packed_key_guard(spark, lineitem_dir, tmp_path):
+    """The closing-probe key packing ((u << 31) | v) is guarded on the
+    real partkey range: ids at/above 2^31 (or negative) must fall back to
+    the two-column key and still agree value-exactly with the oracle,
+    while in-range corpora take the packed path (r6 optimization pin)."""
+    import engine.queries as Q
+
+    # in-range corpus (the adversarial lineitem fixture): packed path
+    plan = Q.q_triangle_parts(
+        spark, lineitem_dir
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "shiftleft" in plan, plan
+
+    # out-of-range ids: same triangle topology as the fixture's order 7,
+    # but partkeys straddle 2^31 and include a negative id
+    big = 1 << 31
+    rows = [
+        (7, big + 20, 105, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", _TS),
+        (7, big + 21, 106, 2, 1.0, 10.0, 0.0, 0.0, "N", "O", _TS),
+        (7, -22, 107, 3, 1.0, 10.0, 0.0, 0.0, "N", "O", _TS),
+        (8, big + 20, 105, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", _TS),
+        (8, big + 21, 106, 2, 1.0, 10.0, 0.0, 0.0, "N", "O", _TS),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).coalesce(1).write.parquet(f"{sf}/lineitem.parquet")
+    plan = Q.q_triangle_parts(
+        spark, sf
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "shiftleft" not in plan, plan
+    bad = _compare(spark, sf, "lineitem", ["triangle_parts"])
+    assert not bad, bad
+
+
 def test_events_queries_survive_adversarial_rows(spark, events_dir):
     bad = _compare(spark, events_dir, "events", EVENT_QUERIES)
     assert not bad, bad
