@@ -4891,10 +4891,11 @@ def q_pagerank_txn_graph(spark, sf_dir):
     Scale shape: per iteration one shuffle of (dst, contribution) doubles
     + one bounded groupBy — state is |V| rows of two longs+double, the
     same fixed-rounds join-iterate pattern as engine/cluster.py.
-    Construction is fully LAZY (no jobs run until an action): the shared
-    subtrees (edges, deg, nodes) are persist()-ed so the final plan's
-    8-9 references compute them once at action time, and |V| enters the
-    rank update as a crossJoined 1-row aggregate, not a driver scalar."""
+    Construction runs exactly ONE job — materializing the shared
+    edge/node caches (see _pagerank_graph: a finalized cache exposes its
+    src-partitioning to the 8 unrolled rounds, which then plan their
+    edge side as a bare cache scan) — and |V| enters the rank update as
+    a crossJoined 1-row aggregate, not a driver scalar."""
     d = PAGERANK_DAMP
     edges, nodetab, nn = _pagerank_graph(spark, sf_dir)
     ranks = nodetab.select("id", F.col("r0").alias("r"), "outdeg")
@@ -4930,12 +4931,6 @@ def _pagerank_graph(spark, sf_dir):
         )
         .distinct()
     )
-    edges = pairs.unionByName(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).select(
-        F.col("src").alias("id"), "outdeg"
-    )
     # persist (lazy), not eager checkpoints: query CONSTRUCTION stays free
     # (the registry is built/schemas inspected without running 8 jobs), and
     # the shared subtrees — referenced 8-9x by the final plan — compute
@@ -4957,14 +4952,30 @@ def _pagerank_graph(spark, sf_dir):
             # pass hits a warm cache): surface it.
             if getattr(cached, "sparkSession", None) is spark:
                 raise
-    # r6: persist the HALF-size pair table and derive the symmetrized
-    # edge stream from it map-side per reference; the node set needs no
-    # separate distinct — it IS deg's key set (every node is a src of
-    # the symmetrized edges), so the old nodes.distinct() shuffle over
-    # |E| rows and the nodes⋈deg join are gone from construction.
-    pairs = pairs.persist()
-    edges = pairs.unionByName(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # r6: persist the symmetrized edge table PRE-PARTITIONED and
+    # PRE-SORTED on src (guide §2.4 — two operations keyed the same way
+    # share one exchange): the cached InMemoryRelation reports
+    # HashPartitioning(src, N)/sorted-by-src, so every one of the 8
+    # unrolled rounds' edges⋈ranks joins elides the edge-side
+    # exchange+sort that the previous half-size pair cache paid per
+    # round (8 shuffles of the |E|-row stream, the per-round dominant
+    # bytes), and deg aggregates off the cache exchange-free. N comes
+    # from the session's shuffle-partition conf (explicit so AQE cannot
+    # re-coalesce the cached partitioning out from under the rounds) —
+    # scale-adaptive via conf, not a tier-local constant. The node set
+    # needs no separate distinct — it IS deg's key set (every node is a
+    # src of the symmetrized edges).
+    try:
+        shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):  # "auto" etc.
+        shuffle_n = spark.sparkContext.defaultParallelism
+    edges = (
+        pairs.unionByName(
+            pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .repartition(shuffle_n, "src")
+        .sortWithinPartitions("src")
+        .persist()
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).select(
         F.col("src").alias("id"), "outdeg"
@@ -4990,7 +5001,18 @@ def _pagerank_graph(spark, sf_dir):
     # the nn handed to consumers reads the cached 16k-row node table, not
     # the |E|-row aggregate; count(*) over nodetab == |nodes| exactly
     nn = nodetab.agg(F.count("*").cast("double").alias("n"))
-    _PAGERANK_CACHED.extend([pairs, nodetab])
+    # Materialize both caches NOW (one count populates nodetab and,
+    # transitively, edges): a cached-but-unmaterialized AQE plan reports
+    # UnknownPartitioning to consumers planned in the same action, so the
+    # 8 unrolled rounds would each re-insert the edge-side
+    # Exchange+Sort the pre-partitioned cache exists to avoid. With the
+    # cache final, InMemoryTableScan exposes HashPartitioning(src)/sorted
+    # and every round's edge side plans as a bare cache scan (plan diff:
+    # 17 Sort nodes → 7; interleaved A/B 28.4 → 18.3 s at 10x, neutral
+    # at sf0.1). Construction therefore runs ONE job — the cache build
+    # the query pays anyway — before the main action.
+    nodetab.count()
+    _PAGERANK_CACHED.extend([edges, nodetab])
     return edges, nodetab, nn
 
 
