@@ -140,10 +140,62 @@ def enqueue(
     n = plan_partitions(total_bytes, target_partition_bytes, min_partitions)
     from engine.catalog import configured_sink_table
 
+    sink_table = configured_sink_table(spark)
+    if sink_table and not force:
+        _guard_sink_table_unclaimed(spark, sink_table, runs_root, run_id)
     return RunManifest.create(
         runs_root, n, total_bytes, run_id=run_id, force=force,
-        sink_table=configured_sink_table(spark),
+        sink_table=sink_table,
     )
+
+
+def _guard_sink_table_unclaimed(
+    spark: SparkSession, sink_table: str, runs_root: str, run_id: str | None
+) -> None:
+    """enqueue-time sink-table collision check (advice, round 5): every
+    catalog run partitions its writes by pmod(hash(url), n), so two runs
+    enqueued against the SAME table (e.g. a forgotten session conf — the
+    exact failure mode _run_sink_table's strict check exists for) would
+    overwritePartitions each other's data while both manifests still read
+    complete, and read_extracted/export would silently return the other
+    corpus's rows. Refuse when the configured table is already recorded
+    by a DIFFERENT manifest under runs_root, or already exists non-empty
+    with no claiming manifest visible (a foreign runs_root) — force=True
+    is the explicit override, mirroring the per-run-directory isolation
+    the parquet path gets by construction."""
+    import pathlib
+
+    root = pathlib.Path(runs_root)
+    if root.exists():
+        for mf in sorted(root.glob("*/manifest.json")):
+            rid = mf.parent.name
+            if rid == run_id:
+                continue  # resuming/resetting this very run is create()'s domain
+            try:
+                other = RunManifest.load(runs_root, rid).sink_table
+            except Exception:
+                continue  # unreadable manifest never blocks a new run
+            if other == sink_table:
+                raise RuntimeError(
+                    f"sink table {sink_table} is already recorded by run "
+                    f"{rid} under {runs_root} — two runs sharing one table "
+                    "overwrite each other's url-hash partitions while both "
+                    "manifests read complete; enqueue with a different "
+                    "spark.graft.sink.table, or pass force=True to claim "
+                    "the table anyway"
+                )
+    try:
+        exists = spark.catalog.tableExists(sink_table)
+    except Exception:
+        exists = False
+    if exists and spark.table(sink_table).limit(1).count() > 0:
+        raise RuntimeError(
+            f"sink table {sink_table} already exists and holds rows, but "
+            f"no manifest under {runs_root} records it — it likely belongs "
+            "to a run under another runs_root; enqueue with a different "
+            "spark.graft.sink.table, or pass force=True to overwrite into "
+            "it anyway"
+        )
 
 
 def _run_sink_table(

@@ -167,7 +167,20 @@ def export_pages_warc(
     manifest = df.select(*_COLS).mapInPandas(
         write, "file string, n_records long"
     )
-    return [r.asDict() for r in manifest.collect()]
+    out = [r.asDict() for r in manifest.collect()]
+    # advice (round 5): killed/zombie task attempts leave their
+    # attempt-unique dot-prefixed temp files behind forever — invisible
+    # to re-ingest by design, but accumulating in the export dir. Safe to
+    # sweep HERE: collect() has returned, so every winning attempt has
+    # os.replace()d its segment into a final name already.
+    import glob as _glob
+
+    for leftover in _glob.glob(os.path.join(path, ".part-*.tmp-*")):
+        try:
+            os.unlink(leftover)
+        except OSError:
+            pass  # best-effort hygiene, never fail a completed export
+    return out
 
 
 # Default scan filter for raw-files ingest: the page-bearing extensions

@@ -44,8 +44,12 @@ def _normalize_cell(v) -> str:
         if math.isnan(v):
             return "nan"
         return f"{v:.6g}"
-    if isinstance(v, bytes):
-        return v.hex()
+    if isinstance(v, (bytes, bytearray)):
+        # Spark collect() yields bytearray for BINARY columns while Arrow
+        # to_pylist yields bytes — a common hex form keeps a future
+        # binary-emitting value-exact query from hash-mismatching on the
+        # container type alone (advice, round 5)
+        return bytes(v).hex()
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_normalize_cell(x) for x in v) + "]"
     return str(v)

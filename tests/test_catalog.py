@@ -225,3 +225,40 @@ def test_read_extracted_raises_when_catalog_table_lost(spark, sink_table, tmp_pa
     spark.sql(f"DROP TABLE {sink_table}")
     with pytest.raises(RuntimeError, match="unreadable"):
         read_extracted(spark, man).count()
+
+
+def test_enqueue_refuses_claimed_or_populated_sink_table(
+    spark, sink_table, tmp_path
+):
+    """Advice (round 5): two runs enqueued with the same sink conf share
+    the table and silently overwritePartitions each other (both manifests
+    still read complete). enqueue must refuse a table already recorded by
+    another manifest under runs_root, or already non-empty with no
+    claiming manifest — force=True is the explicit override."""
+    pages = generate_pages(spark, 30, partitions=2)
+    root = str(tmp_path / "runs")
+    enqueue(spark, pages, root, run_id="claim-a")
+
+    # same table, same runs_root, new run id → refused
+    with pytest.raises(RuntimeError, match="already recorded by run"):
+        enqueue(spark, pages, root, run_id="claim-b")
+    # re-enqueueing the SAME run id stays create()'s resume/reset domain
+    with pytest.raises(FileExistsError):
+        enqueue(spark, pages, root, run_id="claim-a")
+    # explicit override works
+    m = enqueue(spark, pages, root, run_id="claim-b", force=True)
+    assert m.sink_table == sink_table
+
+    # foreign runs_root + table already holding rows → refused too
+    spark.sql(f"DROP TABLE IF EXISTS {sink_table}")
+    spark.sql(
+        f"CREATE TABLE {sink_table} (url STRING, partition_id INT) "
+        "USING parquet PARTITIONED BY (partition_id)"
+    )
+    spark.sql(f"INSERT INTO {sink_table} VALUES ('u', 0)")
+    other_root = str(tmp_path / "runs2")
+    with pytest.raises(RuntimeError, match="no manifest under"):
+        enqueue(spark, pages, other_root, run_id="claim-c")
+    assert enqueue(
+        spark, pages, other_root, run_id="claim-c", force=True
+    ).sink_table == sink_table
